@@ -1,38 +1,239 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→enrich→route→aggregate pipeline on
+sf0.001. ``queries()``/``oracle_sql()`` expose each implemented operator
+from SURVEY.md §2 with a DuckDB-equivalent SQL oracle (the transcripts
+input is derived deterministically from the driver's ``events`` parquet via
+one dialect-shared SQL expression, so both engines see identical inputs).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FACT_OUT_COLS = [
+    "entity_id",
+    "conv_id",
+    "turn_idx",
+    "role",
+    "tool",
+    "rule_id",
+    "sink",
+    "significance",
+    "span_start",
+    "span_end",
+    "value",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from cca_spark.plans.pipeline import pipeline_agg
+
+    return pipeline_agg(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- pipeline
+
+
+def _routed(spark: SparkSession, sf_dir: str, strategy: str = "pandas") -> DataFrame:
+    from cca_spark.plans.pipeline import routed_facts
+    from cca_spark.transcripts import load_transcripts
+
+    return routed_facts(spark, load_transcripts(spark, sf_dir), parse_strategy=strategy)
+
+
+def q_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cca_spark.plans.pipeline import pipeline_agg
+
+    return pipeline_agg(spark, sf_dir)
+
+
+def q_parse_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _routed(spark, sf_dir).select(*FACT_OUT_COLS)
+
+
+def q_parse_facts_sql_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _routed(spark, sf_dir, strategy="sql").select(*FACT_OUT_COLS)
+
+
+def q_enriched_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _routed(spark, sf_dir).select(
+        "entity_id", "sink", "tool", "category", "family", "risk_level", "actor_kind"
+    )
+
+
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _routed(spark, sf_dir)
+        .filter(F.col("sink") == "dead_letter")
+        .select("entity_id", "conv_id", "turn_idx", "tool", "value")
+    )
+
+
+def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cca_spark.operators.aggregate import turn_ordering_check
+    from cca_spark.transcripts import load_transcripts
+
+    return turn_ordering_check(load_transcripts(spark, sf_dir))
+
+
+def q_turn_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text equality invariant: both engines hash identical bytes."""
+    from cca_spark.transcripts import load_transcripts
+
+    return load_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+def q_successor_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cca_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.lead("turn_idx").over(w).alias("next_turn_idx"),
+        F.lead("role").over(w).alias("next_role"),
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_micros"),
+    )
+
+
+def q_min_max_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cca_spark.operators.aggregate import min_max_turns
+    from cca_spark.transcripts import load_transcripts
+
+    return min_max_turns(load_transcripts(spark, sf_dir))
+
+
+def q_coverage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cca_spark.operators.aggregate import coverage_rollup
+
+    return coverage_rollup(_routed(spark, sf_dir))
+
+
+def q_top_k_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cca_spark.operators.aggregate import top_k_patterns
+
+    return top_k_patterns(_routed(spark, sf_dir), k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cca_spark.operators.aggregate import sample_per_group
+
+    return sample_per_group(_routed(spark, sf_dir), limit=5).select(
+        "entity_id", "sink", "date_bucket", "rule_id"
+    )
+
+
+def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cca_spark.ontology import ontology_closure_df
+
+    return ontology_closure_df(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pipeline_agg_per_sink": q_pipeline_agg,
+        "parse_route_facts": q_parse_facts,
+        "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
+        "enrich_tool_ontology": q_enriched_facts,
+        "route_dead_letter": q_dead_letter,
+        "turn_ordering_invariant": q_turn_ordering,
+        "turn_text_identity": q_turn_text_identity,
+        "successor_facts": q_successor_facts,
+        "min_max_turns": q_min_max_turns,
+        "coverage_rollup": q_coverage_rollup,
+        "top_k_patterns": q_top_k_patterns,
+        "sample_per_group": q_sample_per_group,
+        "ontology_closure_fixpoint": q_ontology_closure,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cca_spark import oracles
+
+    sf = "/root/testdata/sf0.01"
+    fact_cols = ", ".join(FACT_OUT_COLS)
+    return {
+        "pipeline_agg_per_sink": oracles.with_routed(
+            sf,
+            "SELECT sink, tool, date_bucket, count(*) AS n_rows, "
+            "count(DISTINCT conv_id) AS n_convs FROM routed GROUP BY 1, 2, 3",
+        ),
+        "parse_route_facts": oracles.with_routed(sf, f"SELECT {fact_cols} FROM routed"),
+        "parse_facts_sql_strategy": oracles.with_routed(sf, f"SELECT {fact_cols} FROM routed"),
+        "enrich_tool_ontology": oracles.with_routed(
+            sf,
+            "SELECT entity_id, sink, tool, category, family, risk_level, actor_kind FROM routed",
+        ),
+        "route_dead_letter": oracles.with_routed(
+            sf,
+            "SELECT entity_id, conv_id, turn_idx, tool, value FROM routed "
+            "WHERE sink = 'dead_letter'",
+        ),
+        "turn_ordering_invariant": oracles.with_transcripts(
+            sf,
+            "SELECT conv_id, count(*) AS n_turns, cast(sum(CASE WHEN rn = turn_idx "
+            "THEN 0 ELSE 1 END) AS bigint) AS n_order_violations FROM ("
+            "  SELECT conv_id, turn_idx, row_number() OVER ("
+            "    PARTITION BY conv_id ORDER BY turn_idx) - 1 AS rn FROM t"
+            ") GROUP BY conv_id",
+        ),
+        "turn_text_identity": oracles.with_transcripts(
+            sf, "SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM t"
+        ),
+        "successor_facts": oracles.with_transcripts(
+            sf,
+            "SELECT conv_id, turn_idx, "
+            "lead(turn_idx) OVER w AS next_turn_idx, "
+            "lead(role) OVER w AS next_role, "
+            "datediff('microsecond', ts, lead(ts) OVER w) AS gap_micros "
+            "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)",
+        ),
+        "min_max_turns": oracles.with_transcripts(
+            sf,
+            "SELECT conv_id, min(turn_idx) AS first_turn, max(turn_idx) AS last_turn, "
+            "min_by(role, turn_idx) AS first_role, max_by(role, turn_idx) AS last_role "
+            "FROM t GROUP BY conv_id",
+        ),
+        "coverage_rollup": oracles.with_routed(
+            sf,
+            "SELECT sink, rule_id, count(*) AS n_rows, "
+            "cast(sum(significance) AS bigint) AS sig_sum "
+            "FROM routed GROUP BY ROLLUP (sink, rule_id)",
+        ),
+        "top_k_patterns": oracles.with_routed(
+            sf,
+            "SELECT rule_id, sink, n, cast(rank AS int) AS rank FROM ("
+            "  SELECT rule_id, sink, count(*) AS n, row_number() OVER ("
+            "    ORDER BY count(*) DESC, rule_id ASC) AS rank "
+            "  FROM routed GROUP BY rule_id, sink"
+            ") WHERE rank <= 10",
+        ),
+        "sample_per_group": oracles.with_routed(
+            sf,
+            "SELECT entity_id, sink, date_bucket, rule_id FROM ("
+            "  SELECT entity_id, sink, date_bucket, rule_id, row_number() OVER ("
+            "    PARTITION BY sink, date_bucket ORDER BY md5(entity_id), entity_id"
+            "  ) AS rn FROM routed"
+            ") WHERE rn <= 5",
+        ),
+        "ontology_closure_fixpoint": oracles.closure_recursive_sql(),
+    }

@@ -1,0 +1,120 @@
+"""AGGREGATE — two-phase group-bys, windows, rollups, sampling.
+
+Reference analogs:
+- per-pattern instance counts (find_change_patterns.py:1212-1224,1376-1385)
+- hierarchical coverage rollup (find_change_patterns.py:1052-1125)
+- top-k ranked report (find_change_patterns.py:965-966)
+- per-group sample with cap (find_change_patterns.py:1340-1362)
+- version chaining / successor facts (materialize_fact.py:66-89,
+  java_fact.ml:56)
+
+Spark runs every groupBy as partial (map-side) + final aggregation
+natively — the "two-phase" requirement is free; the design work is keeping
+grouping keys low-cardinality-safe and windows partitioned by conv_id so
+state never exceeds one conversation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def agg_per_sink(routed: DataFrame) -> DataFrame:
+    """The north-rule aggregate: per (sink, tool, date_bucket)."""
+    return (
+        routed.groupBy("sink", "tool", "date_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+def coverage_rollup(routed: DataFrame) -> DataFrame:
+    """Hierarchical rollup sink -> (sink, rule_id) with grand total.
+
+    Reference: identified/total coverage per file pair -> version pair ->
+    project (find_change_patterns.py:1052-1125).
+    """
+    return (
+        routed.rollup("sink", "rule_id")
+        .agg(F.count("*").alias("n_rows"), F.sum("significance").alias("sig_sum"))
+    )
+
+
+def top_k_patterns(routed: DataFrame, k: int = 10) -> DataFrame:
+    """Patterns ranked by instance count (find_change_patterns.py:965-966).
+
+    Deterministic tie-break on rule_id so the result set is stable across
+    partitionings.
+    """
+    counts = routed.groupBy("rule_id", "sink").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("rule_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sample_per_group(routed: DataFrame, limit: int = 5) -> DataFrame:
+    """Per-(sink, date_bucket) capped sample.
+
+    The reference uses seeded random.sample per version pair
+    (find_change_patterns.py:1340-1362, seed at :63). A seeded rand() is
+    NOT partition-stable in Spark, so determinism comes from ordering by a
+    content hash instead — same statistical effect (md5 is uniform), fully
+    reproducible on any cluster size, and expressible in the DuckDB oracle.
+    """
+    w = Window.partitionBy("sink", "date_bucket").orderBy(F.md5("entity_id"), F.asc("entity_id"))
+    return (
+        routed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= limit)
+        .drop("rn")
+    )
+
+
+def turn_ordering_check(transcripts: DataFrame) -> DataFrame:
+    """North-rule ordering invariant (W5): within each conv_id, ordering by
+    turn_idx must be a dense 0-based sequence; returns per-conv verdicts.
+
+    row_number over (conv_id ORDER BY turn_idx) - 1 == turn_idx for every
+    row <=> ordering is stable and gap-free.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    per_row = transcripts.withColumn("rn", F.row_number().over(w) - 1)
+    return (
+        per_row.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("rn") == F.col("turn_idx"), 0).otherwise(1)).alias("n_order_violations"),
+        )
+    )
+
+
+def successor_facts(transcripts: DataFrame) -> DataFrame:
+    """W1/W2: chain each turn to its successor within the conversation.
+
+    Reference: ``ver:next`` version chaining (materialize_fact.py:66-89)
+    and ``java:successor`` sibling edges (java_fact.ml:56,217-222).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lead("turn_idx").over(w).alias("next_turn_idx"),
+        F.lead("role").over(w).alias("next_role"),
+        (F.lead("ts").over(w).cast("double") - F.col("ts").cast("double")).alias("gap_seconds"),
+    )
+
+
+def min_max_turns(transcripts: DataFrame) -> DataFrame:
+    """A10: earliest/latest turn per conversation (reference: earliest/
+    latest version of an entity, find_change_patterns.py:731-783)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+    )

@@ -1,0 +1,65 @@
+"""ROUTE — tag dispatch to per-category sinks, skew-aware.
+
+Reference analog: the change classifier routes raw edits into ~60 named
+categories and reports unclassified ones separately
+(/root/reference/src/ast/analyzing/langs/java/java_change.ml:519-782,
+change_base.ml:951-956); per-key fact buffers write one file per category
+(/root/reference/src/ast/analyzing/common/fact_base.ml:33-47,181-198).
+
+Spark mapping: the sink is a column (assigned by the rule bank at parse
+time, overridden to ``dead_letter`` for unknown tools); fan-out is one
+partitioned write — ``partitionBy("sink", "date_bucket")`` — not N filtered
+jobs. Hot conversations (the reference's "huge node" special-case,
+/root/reference/src/ast/analyzing/diffast.ml:294-305) are defused by a
+salted repartition that spreads one conv's rows over ``n_salts`` tasks;
+the salt never reaches a key of any order-sensitive window (the
+``(conv_id, turn_idx)`` ordering invariant is enforced on unsalted keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cca_spark.rules import DEAD_LETTER_SINK
+
+
+def route_facts(enriched: DataFrame) -> DataFrame:
+    """Final sink assignment: unknown-tool invocations -> dead_letter."""
+    return enriched.withColumn(
+        "sink",
+        F.when(
+            (F.col("sink") == "tool_invocation") & F.col("category").isNull(),
+            F.lit(DEAD_LETTER_SINK),
+        ).otherwise(F.col("sink")),
+    )
+
+
+def salted_repartition(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Deterministic salt from the entity key (NOT rand() — set equality
+    across cluster sizes requires every row to land deterministically).
+
+    ``repartition(conv_id, salt)`` splits a hot conversation across up to
+    ``n_salts`` partitions while keeping co-location for everyone else.
+    """
+    return (
+        df.withColumn("_salt", F.pmod(F.xxhash64("entity_id"), F.lit(n_salts)))
+        .repartition(F.col("conv_id"), F.col("_salt"))
+        .drop("_salt")
+    )
+
+
+def write_sinks(routed: DataFrame, out_dir: str, max_records_per_file: int = 1_000_000) -> None:
+    """Fan-out write: one directory tree partitioned by (sink, date_bucket).
+
+    Reference: size-rotated per-category N-Triples shards
+    (triple.ml:839-935, fact_size_threshold fact_options.ml:37) —
+    ``maxRecordsPerFile`` is the Spark-native size bound. At cluster scale
+    this is an Iceberg ``append`` with identical partitioning.
+    """
+    (
+        routed.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy("sink", "date_bucket")
+        .parquet(out_dir)
+    )
