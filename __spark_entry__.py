@@ -33,10 +33,19 @@ FACT_OUT_COLS = [
 ]
 
 
+def _ensure_dist(spark: SparkSession) -> None:
+    """Make cca_spark importable on executor workers regardless of the
+    caller's cwd/session (runtime analog of spark-submit --py-files)."""
+    from cca_spark.dist import ensure_on_executors
+
+    ensure_on_executors(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from cca_spark.plans.pipeline import pipeline_agg
 
+    _ensure_dist(spark)
     return pipeline_agg(spark, "/root/testdata/sf0.001")
 
 
@@ -149,7 +158,34 @@ def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from cca_spark.operators import relational as R
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_dist(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", "query")
+        return wrapped
+
+    rel = {
+        "pricing_summary": R.pricing_summary,
+        "join_chain_revenue": R.join_chain_revenue,
+        "broadcast_derived_key_join": R.broadcast_derived_key_join,
+        "conditional_predicate_join": R.conditional_predicate_join,
+        "anti_join_unmatched": R.anti_join_unmatched,
+        "semi_join_existing": R.semi_join_existing,
+        "theta_join_next_turn": R.theta_join_next_turn,
+        "range_containment_suppression": R.range_containment_suppression,
+        "union_alternative_keys": R.union_alternative_keys,
+        "except_unclassified_turns": R.except_unclassified_turns,
+        "running_window_total": R.running_window_total,
+        "sessionize_events": R.sessionize_events,
+        "scalar_function_battery": R.scalar_function_battery,
+        "ancestor_paths": R.ancestor_paths,
+        "token_explode_counts": R.token_explode_counts,
+    }
+    all_queries = rel | {
         "pipeline_agg_per_sink": q_pipeline_agg,
         "parse_route_facts": q_parse_facts,
         "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
@@ -164,14 +200,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "ontology_closure_fixpoint": q_ontology_closure,
     }
+    return {name: wrap(fn) for name, fn in all_queries.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     from cca_spark import oracles
+    from cca_spark import oracles_relational as OR
 
     sf = "/root/testdata/sf0.01"
     fact_cols = ", ".join(FACT_OUT_COLS)
-    return {
+    rel = {
+        "pricing_summary": OR.pricing_summary_sql(),
+        "join_chain_revenue": OR.join_chain_revenue_sql(),
+        "broadcast_derived_key_join": OR.broadcast_derived_key_join_sql(),
+        "conditional_predicate_join": OR.conditional_predicate_join_sql(),
+        "anti_join_unmatched": OR.anti_join_unmatched_sql(),
+        "semi_join_existing": OR.semi_join_existing_sql(),
+        "theta_join_next_turn": OR.theta_join_next_turn_sql(sf),
+        "range_containment_suppression": OR.range_containment_suppression_sql(sf),
+        "union_alternative_keys": OR.union_alternative_keys_sql(),
+        "except_unclassified_turns": OR.except_unclassified_turns_sql(sf),
+        "running_window_total": OR.running_window_total_sql(),
+        "sessionize_events": OR.sessionize_events_sql(),
+        "scalar_function_battery": OR.scalar_function_battery_sql(sf),
+        "ancestor_paths": OR.ancestor_paths_sql(),
+        "token_explode_counts": OR.token_explode_counts_sql(),
+    }
+    return rel | {
         "pipeline_agg_per_sink": oracles.with_routed(
             sf,
             "SELECT sink, tool, date_bucket, count(*) AS n_rows, "

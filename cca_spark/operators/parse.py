@@ -93,10 +93,15 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd
                 out["span_end"].append(end)
                 out["value"].append(m.group(1) if m.groups() else m.group(0))
     res = pd.DataFrame(out)
+    # explicit dtypes: a zero-match batch must still carry Arrow-castable
+    # columns (an empty object/float64 'ts' breaks the timestamp cast)
     res["turn_idx"] = res["turn_idx"].astype("int32")
     res["significance"] = res["significance"].astype("int32")
     res["span_start"] = res["span_start"].astype("int32")
     res["span_end"] = res["span_end"].astype("int32")
+    res["ts"] = pd.to_datetime(res["ts"])
+    for c in ("entity_id", "conv_id", "role", "tool", "rule_id", "sink", "value"):
+        res[c] = res[c].astype(object)
     return res
 
 

@@ -1,0 +1,205 @@
+"""DuckDB oracles for the relational operator battery.
+
+TPC-H-ish tables are referenced by their driver-pre-registered view names
+(region nation customer supplier part orders lineitem events documents
+embeddings); transcripts-derived oracles inline the shared derivation SQL.
+"""
+
+from __future__ import annotations
+
+from cca_spark import oracles
+
+DEC = "decimal(18,4)"
+
+
+def pricing_summary_sql() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS {DEC})) AS double) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS {DEC})) AS double) AS sum_base_price,
+  cast(sum(cast(cast(l_extendedprice AS {DEC}) * (cast(1 AS {DEC}) - cast(l_discount AS {DEC})) AS {DEC})) AS double) AS sum_disc_price,
+  count(*) AS count_order,
+  cast(sum(cast(l_quantity AS {DEC})) AS double) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def join_chain_revenue_sql() -> str:
+    return f"""
+SELECT r_name, n_name,
+  cast(sum(cast(cast(l_extendedprice AS {DEC}) * (cast(1 AS {DEC}) - cast(l_discount AS {DEC})) AS {DEC})) AS double) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def broadcast_derived_key_join_sql() -> str:
+    return f"""
+SELECT p_brand || '#' || p_type AS brand_type,
+  count(*) AS n_items,
+  cast(sum(cast(l_quantity AS {DEC})) AS double) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def conditional_predicate_join_sql() -> str:
+    return """
+SELECT CASE WHEN cast(l_shipdate AS date) = cast(o_orderdate AS date)
+            THEN 'sameday' ELSE 'later' END AS mapping,
+  o_orderpriority, count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def anti_join_unmatched_sql() -> str:
+    return """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def semi_join_existing_sql() -> str:
+    return """
+SELECT s_nationkey, count(*) AS n_active_suppliers FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+GROUP BY s_nationkey
+"""
+
+
+def theta_join_next_turn_sql(sf: str) -> str:
+    return oracles.with_transcripts(
+        sf,
+        """
+SELECT a.role AS role, b.role AS next_role, count(*) AS n_transitions
+FROM t a JOIN t b ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+GROUP BY 1, 2
+""",
+    )
+
+
+def range_containment_suppression_sql(sf: str) -> str:
+    return oracles.with_routed(
+        sf,
+        """
+SELECT f.entity_id, f.sink, f.rule_id, f.span_start, f.span_end
+FROM routed f
+WHERE f.sink <> 'code_span'
+  AND NOT EXISTS (
+    SELECT 1 FROM routed s
+    WHERE s.sink = 'code_span'
+      AND s.conv_id = f.conv_id AND s.turn_idx = f.turn_idx
+      AND f.span_start >= s.span_start AND f.span_end <= s.span_end)
+""",
+    )
+
+
+def union_alternative_keys_sql() -> str:
+    return """
+SELECT via, count(*) AS n_pairs, count(DISTINCT s_suppkey) AS n_suppliers
+FROM (
+  SELECT s_suppkey, c_custkey, 'nation' AS via
+  FROM supplier JOIN customer ON s_nationkey = c_nationkey
+  UNION ALL
+  SELECT s_suppkey, c_custkey, 'balance' AS via
+  FROM supplier JOIN customer
+    ON cast(floor(s_acctbal / 1000) AS int) = cast(floor(c_acctbal / 1000) AS int)
+)
+GROUP BY via
+"""
+
+
+def except_unclassified_turns_sql(sf: str) -> str:
+    return oracles.with_facts(
+        sf,
+        """
+SELECT role, count(*) AS n_unclassified_turns
+FROM t
+WHERE NOT EXISTS (
+  SELECT 1 FROM facts f
+  WHERE f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx)
+GROUP BY role
+""",
+    )
+
+
+def running_window_total_sql() -> str:
+    return f"""
+SELECT o_custkey, o_orderkey,
+  cast(row_number() OVER w AS int) AS order_seq,
+  cast(sum(cast(o_totalprice AS {DEC})) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def sessionize_events_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+SELECT user_id, session_seq, count(*) AS n_events,
+  count(DISTINCT event_type) AS n_event_types
+FROM (
+  SELECT user_id, event_type,
+    cast(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS int) AS session_seq
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             OR datediff('microsecond',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > {gap_us}
+           THEN 1 ELSE 0 END AS new_session
+    FROM events)
+)
+GROUP BY user_id, session_seq
+"""
+
+
+def scalar_function_battery_sql(sf: str) -> str:
+    return oracles.with_transcripts(
+        sf,
+        r"""
+SELECT conv_id, turn_idx,
+  conv_id || '/' || cast(turn_idx AS varchar) AS uri,
+  split_part(conv_id || '/' || cast(turn_idx AS varchar), '/', 2) AS localname,
+  md5(text) AS md5_hash,
+  sha256(text) AS sha256_hash,
+  cast(date_trunc('month', ts) AS date) AS month_bucket,
+  cast(len(string_split(text, chr(10))) AS int) AS sloc,
+  cast(length(text) AS int) AS n_chars,
+  try_cast(regexp_extract(text, 'item (\d+)', 1) AS int) AS item_id,
+  cast(levenshtein(role, 'assistant') AS int) AS role_dist,
+  starts_with(text, 'turn') AS starts_turn,
+  upper(substr(role, 1, 1)) || substr(role, 2) AS role_title
+FROM t
+""",
+    )
+
+
+def ancestor_paths_sql() -> str:
+    return f"""
+WITH closure AS ({oracles.closure_recursive_sql()})
+SELECT category, string_agg(ancestor, '|' ORDER BY ancestor) AS ancestor_path
+FROM closure GROUP BY category
+"""
+
+
+def token_explode_counts_sql() -> str:
+    return """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+"""

@@ -27,7 +27,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
         df = q(spark, sf_dir)
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
-    assert_matches_oracle(q(spark, sf_dir), _oracle_for(name, sf_dir), min_rows=1)
+    assert_matches_oracle(q(spark, sf_dir), _oracle_for(name, sf_dir), min_rows=1, sf_dir=sf_dir)
 
 
 def test_entry_smoke(spark):

@@ -6,6 +6,22 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with the driver-contract views pre-registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
@@ -22,9 +38,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def assert_matches_oracle(spark_df, oracle: str, min_rows: int = 1) -> None:
+def assert_matches_oracle(spark_df, oracle: str, min_rows: int = 1, sf_dir: str | None = None) -> None:
     got = normalize(spark_df.toPandas())
-    want = normalize(duckdb.sql(oracle).df())
+    con = duckdb_conn(sf_dir) if sf_dir else duckdb
+    want = normalize(con.sql(oracle).df())
     assert list(got.columns) == list(want.columns), (
         f"schema mismatch: {list(got.columns)} vs {list(want.columns)}"
     )
