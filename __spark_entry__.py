@@ -158,7 +158,27 @@ def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from cca_spark.operators import dedup as DD
+    from cca_spark.operators import multimodal as MM
     from cca_spark.operators import relational as R
+    from cca_spark.operators import similarity as SIM
+    from cca_spark.operators import textstats as TS
+
+    training = {
+        "lang_id_heuristic": TS.lang_id,
+        "quality_score": TS.quality_score,
+        "token_count": TS.token_count,
+        "doc_fingerprint": TS.doc_fingerprint,
+        "dedup_exact": DD.exact_dedup,
+        "dedup_minhash_lsh": DD.minhash_lsh_pairs,
+        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,
+        "dedup_simhash": DD.simhash_dup_groups,
+        "ann_brute_force_topk": SIM.brute_force_topk,
+        "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
+        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
+        "multimodal_features": MM.multimodal_features,
+        "multimodal_frame_sample": MM.frame_sample,
+    }
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,7 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ancestor_paths": R.ancestor_paths,
         "token_explode_counts": R.token_explode_counts,
     }
-    all_queries = rel | {
+    all_queries = training | rel | {
         "pipeline_agg_per_sink": q_pipeline_agg,
         "parse_route_facts": q_parse_facts,
         "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
@@ -206,9 +226,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from cca_spark import oracles
     from cca_spark import oracles_relational as OR
+    from cca_spark import oracles_training as OT
 
     sf = "/root/testdata/sf0.01"
     fact_cols = ", ".join(FACT_OUT_COLS)
+    training = {
+        "lang_id_heuristic": OT.lang_id_sql(),
+        "quality_score": OT.quality_score_sql(),
+        "token_count": OT.token_count_sql(),
+        "doc_fingerprint": OT.doc_fingerprint_sql(),
+        "dedup_exact": OT.exact_dedup_sql(),
+        "dedup_minhash_lsh": OT.minhash_lsh_pairs_sql(),
+        "dedup_ngram_jaccard": OT.ngram_jaccard_sql(),
+        "dedup_simhash": OT.simhash_dup_groups_sql(),
+        "ann_brute_force_topk": OT.brute_force_topk_sql(),
+        "ann_lsh_bucketed": OT.lsh_bucketed_ann_sql(),
+        "dedup_embedding_cosine": OT.embedding_near_dup_sql(0.35),
+        "multimodal_features": OT.multimodal_features_sql(),
+        "multimodal_frame_sample": OT.frame_sample_sql(),
+    }
     rel = {
         "pricing_summary": OR.pricing_summary_sql(),
         "join_chain_revenue": OR.join_chain_revenue_sql(),
@@ -226,7 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "ancestor_paths": OR.ancestor_paths_sql(),
         "token_explode_counts": OR.token_explode_counts_sql(),
     }
-    return rel | {
+    return training | rel | {
         "pipeline_agg_per_sink": oracles.with_routed(
             sf,
             "SELECT sink, tool, date_bucket, count(*) AS n_rows, "

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end pipeline wall time
+(parse→enrich→route→aggregate, pandas-UDF parse strategy); the derived
+``routed_turns_per_sec`` figure is the BASELINE.json north metric.
+
+Usage:
+    python bench.py                  # standard bench, one JSON line
+    python bench.py --replicas 16    # heavier corpus (scaling runs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _time(fn) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
+    from pyspark.sql import functions as F
+
+    from cca_spark.bench_corpus import replicated_transcripts
+    from cca_spark.operators import dedup as DD
+    from cca_spark.operators import relational as R
+    from cca_spark.operators import similarity as SIM
+    from cca_spark.operators.aggregate import agg_per_sink
+    from cca_spark.plans.pipeline import routed_facts
+    from cca_spark.session import get_spark
+
+    spark = get_spark(app_name="cca_spark_bench", master=master)
+    ncores = spark.sparkContext.defaultParallelism
+
+    transcripts = replicated_transcripts(spark, sf_dir, replicas)
+    n_turns = transcripts.count()  # also warms the JVM/parquet footer cache
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, thunk) -> None:
+        dt, _ = _time(thunk)
+        timings[name] = round(dt, 3)
+
+    # headline: full pipeline, pandas-UDF parse
+    t0 = time.time()
+    agg = agg_per_sink(routed_facts(spark, transcripts, parse_strategy="pandas"))
+    agg_rows = agg.collect()
+    pipeline_sec = time.time() - t0
+    timings["pipeline_pandas"] = round(pipeline_sec, 3)
+
+    bench(
+        "pipeline_sql",
+        lambda: len(
+            agg_per_sink(routed_facts(spark, transcripts, parse_strategy="sql")).collect()
+        ),
+    )
+    bench("pricing_summary", lambda: len(R.pricing_summary(spark, sf_dir).collect()))
+    bench("join_chain_revenue", lambda: len(R.join_chain_revenue(spark, sf_dir).collect()))
+    bench("sessionize_events", lambda: R.sessionize_events(spark, sf_dir).count())
+    bench(
+        "range_containment",
+        lambda: R.range_containment_suppression(spark, sf_dir).count(),
+    )
+    bench("dedup_minhash_lsh", lambda: DD.minhash_lsh_pairs(spark, sf_dir).count())
+    bench("ann_brute_force", lambda: SIM.brute_force_topk(spark, sf_dir).count())
+
+    result = {
+        "metric": "end_to_end_pipeline_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_turns": n_turns,
+        "routed_turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "n_agg_rows": len(agg_rows),
+        "cores": ncores,
+        "replicas": replicas,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--replicas", type=int, default=1)
+    args = ap.parse_args()
+    result = run_bench(args.sf_dir, args.master, args.replicas)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Deduplication family for training-data pipelines.
+
+Reference analog: CCA's hash-prematch dedupes identical subtrees via
+content digests before expensive tree-edit-distance
+(/root/reference/src/ast/analyzing/engine/analyzing.ml:1292-1326,
+treediff.ml:369-460 ``fast_match_trees``) — exactly the
+cheap-hash-first / expensive-verify-second discipline used here:
+
+- exact:        md5 group-by (the digest prematch itself)
+- minhash+LSH:  shingle → K min-hashes → band buckets → bucket join →
+                exact-Jaccard verify on candidates only
+- simhash:      bit-majority signature, identical-signature clusters
+- n-gram Jaccard: exact set overlap on candidate pairs
+- embedding cosine near-dup lives in similarity.py
+
+Everything is relational (explode/groupBy/join) — no UDFs — so Catalyst
+handles partial aggregation and AQE handles the skewed-bucket joins. At
+100 TB the shingle explode is the dominant shuffle; it is keyed by doc_id
+(partial map-side min per hash already shrinks it) and the band join
+broadcasts nothing — it's a self-equi-join on (band_idx, band_key) where
+bucket sizes are bounded by LSH design.
+
+The test corpus has no natural near-dups, so a deterministic twin corpus
+is derived: every 3rd document gets a suffix-perturbed copy
+(doc_id + 1_000_000) — both engines derive it from the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TWIN_SUFFIX = " near duplicate twin suffix"
+N_MINHASHES = 8
+N_BANDS = 4  # rows per band = N_MINHASHES // N_BANDS = 2
+SHINGLE_K = 3
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic near-dup twins of every 3rd doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(TWIN_SUFFIX)).alias("text"),
+        )
+    )
+    return docs.unionByName(twins)
+
+
+def corpus_shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """k-token shingles via sequence+slice (no UDF)."""
+    toks = corpus.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - k, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) groups; keeper = min(doc_id) (deterministic
+    first-win, like the reference's digest cache keying diffts.py:170-207)."""
+    corpus = dedup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """K min-hash values per doc: h_i = min(md5(i || ':' || shingle)).
+
+    md5-as-hash-family keeps both engines bit-identical (hex-string min
+    is a total order both sides); partial min aggregation runs map-side.
+    """
+    sh = corpus_shingles(corpus)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_MINHASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
+
+    Bands of 2 hashes; candidates = docs sharing any band key; verify
+    joins candidate pairs back to shingle sets and computes true Jaccard.
+    Only candidates pay the verify cost (LSH prunes the N² space)."""
+    corpus = dedup_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus)
+    rows_per_band = N_MINHASHES // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
+        )
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = ngram_jaccard(corpus, cands)
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+def ngram_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
+    sh = corpus_shingles(corpus).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_all_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: candidate pairs share a fingerprint
+    (min shingle hash) block — the winnowing-bucket join. Output pairs with
+    jaccard >= 0.3."""
+    corpus = dedup_corpus(spark, sf_dir)
+    sh = corpus_shingles(corpus)
+    fp = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    cands = (
+        a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    )
+    return ngram_jaccard(corpus, cands).filter(F.col("jaccard") >= 0.3)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str, n_bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens: bit j of the signature is the
+    majority vote of bit j across token hashes (bit j of a token = high
+    bit of hex digit j of md5 — portable to the SQL oracle).
+
+    Relational shape: explode tokens → per-(doc, bit) signed sum →
+    pivot-free re-aggregation into a bit string.
+    """
+    docs = dedup_corpus(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    bit_votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*list("89abcdef")), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(n_bits)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*bit_votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_bits)]
+    )
+    return votes.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs clustered by identical simhash (candidate duplicate groups)."""
+    sigs = simhash_signatures(spark, sf_dir)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

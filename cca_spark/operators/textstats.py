@@ -1,0 +1,106 @@
+"""Text analysis for training-data pipelines over the ``documents`` table.
+
+These extend the reference's text-measurement surface (SLOC counting
+/root/reference/python/src/cca/ccautil/sloccount.py, similarity prefilters
+sim.py:28-66) to the operations a 100 TB corpus pipeline needs: language
+ID, quality scoring, token counting, document fingerprinting.
+
+All are pure JVM column expressions (whole-stage codegen, no Python) —
+at scale these run at parquet-scan speed with full pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tiny English stopword set used by the n-gram/heuristic language ID
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+_STOPWORD_RE = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+
+# BPE-ish token classes: words, numbers, single non-space punctuation
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit density over whitespace tokens.
+
+    A real pipeline swaps the stopword table per language and keeps the
+    same plan shape (regexp count is codegen'd, no UDF).
+    """
+    docs = _read_docs(spark, sf_dir)
+    n_stop = F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOPWORD_RE), 0))
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    density = n_stop.cast("double") / n_tok.cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_stop.cast("int").alias("n_stopwords"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(density, 6).alias("stopword_density"),
+        F.when(density >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    mean word length — the standard pre-training filters."""
+    docs = _read_docs(spark, sf_dir)
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_stop = F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOPWORD_RE), 0))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        F.round(n_punct.cast("double") / n_chars.cast("double"), 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_words.cast("double"), 6).alias("stopword_ratio"),
+        F.round(n_chars.cast("double") / n_words.cast("double"), 6).alias("mean_word_len"),
+        (
+            (n_chars >= 100)
+            & ((n_punct.cast("double") / n_chars.cast("double")) < 0.1)
+            & ((n_stop.cast("double") / n_words.cast("double")) > 0.05)
+        ).alias("passes_quality"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish token counts (billing/budgeting metric)."""
+    docs = _read_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str, shingle_k: int = 3) -> DataFrame:
+    """Winnowing-style fingerprint: min MD5 over k-token shingles.
+
+    The rolling-hash analog of the reference's subtree digests
+    (fast_match_trees, /root/reference/src/ast/analyzing/engine/
+    treediff.ml:369-460): identical fingerprints => near-certain overlap.
+    Built from explode + groupBy min — fully distributed, no UDF.
+    """
+    docs = _read_docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - shingle_k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, shingle_k)),
+            )
+        ).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    return shingles.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )

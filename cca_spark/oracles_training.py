@@ -1,0 +1,269 @@
+"""DuckDB oracles for the training-data operators (textstats, dedup,
+similarity, multimodal). Tables referenced via the driver's pre-registered
+views (documents, embeddings)."""
+
+from __future__ import annotations
+
+from cca_spark.operators.dedup import N_BANDS, N_MINHASHES, SHINGLE_K, TWIN_SUFFIX
+from cca_spark.operators.similarity import LSH_DIMS
+from cca_spark.operators.textstats import EN_STOPWORDS, TOKEN_RE
+
+STOPWORD_RE = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+
+CORPUS_CTE = f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '{TWIN_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 3 = 0
+)"""
+
+# k-token shingles: 1-based inclusive list slicing toks[i : i+k-1]
+SHINGLES_CTE = f"""shingles AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks) - {SHINGLE_K - 1}, 1)),
+    i -> array_to_string(toks[i : i + {SHINGLE_K - 1}], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus)
+)"""
+
+SHINGLES_NONEMPTY = "shn AS (SELECT doc_id, shingle FROM shingles WHERE shingle <> '')"
+
+
+def lang_id_sql() -> str:
+    return f"""
+SELECT doc_id, lang,
+  cast(len(regexp_extract_all(text, '{STOPWORD_RE}')) AS int) AS n_stopwords,
+  cast(len(string_split_regex(trim(text), '\\s+')) AS int) AS n_tokens,
+  round(len(regexp_extract_all(text, '{STOPWORD_RE}'))
+        / cast(len(string_split_regex(trim(text), '\\s+')) AS double), 6) AS stopword_density,
+  CASE WHEN len(regexp_extract_all(text, '{STOPWORD_RE}'))
+            / cast(len(string_split_regex(trim(text), '\\s+')) AS double) >= 0.08
+       THEN 'en' ELSE 'other' END AS lang_guess
+FROM documents
+"""
+
+
+def quality_score_sql() -> str:
+    return f"""
+SELECT doc_id,
+  cast(length(text) AS int) AS n_chars,
+  cast(len(string_split_regex(trim(text), '\\s+')) AS int) AS n_words,
+  round(len(regexp_extract_all(text, '[^\\w\\s]')) / cast(length(text) AS double), 6) AS punct_ratio,
+  round(len(regexp_extract_all(text, '{STOPWORD_RE}'))
+        / cast(len(string_split_regex(trim(text), '\\s+')) AS double), 6) AS stopword_ratio,
+  round(length(text) / cast(len(string_split_regex(trim(text), '\\s+')) AS double), 6) AS mean_word_len,
+  (length(text) >= 100
+   AND len(regexp_extract_all(text, '[^\\w\\s]')) / cast(length(text) AS double) < 0.1
+   AND len(regexp_extract_all(text, '{STOPWORD_RE}'))
+       / cast(len(string_split_regex(trim(text), '\\s+')) AS double) > 0.05) AS passes_quality
+FROM documents
+"""
+
+
+def token_count_sql() -> str:
+    return f"""
+SELECT doc_id,
+  cast(len(string_split_regex(trim(text), '\\s+')) AS int) AS ws_tokens,
+  cast(len(regexp_extract_all(text, '{TOKEN_RE}')) AS int) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    # fingerprint over plain documents (not the twin corpus)
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{SHINGLES_CTE},
+{SHINGLES_NONEMPTY}
+SELECT doc_id, min(md5(shingle)) AS fingerprint,
+  count(DISTINCT shingle) AS n_shingles
+FROM shn GROUP BY doc_id
+"""
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE}
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+def _sig_cte() -> str:
+    hashes = ",\n    ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASHES)
+    )
+    rows_per_band = N_MINHASHES // N_BANDS
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_key FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""sig AS (
+  SELECT doc_id, {hashes}
+  FROM shn GROUP BY doc_id
+),
+banded AS (
+{bands}
+)"""
+
+
+JACCARD_TAIL = """
+shd AS (SELECT DISTINCT doc_id, shingle FROM shn),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shd sa ON sa.doc_id = c.doc_a
+  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+  round(i.n_inter / cast(na.n_sh + nb.n_sh - i.n_inter AS double), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+"""
+
+
+def minhash_lsh_pairs_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE},
+{SHINGLES_CTE},
+{SHINGLES_NONEMPTY},
+{_sig_cte()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{JACCARD_TAIL.strip().rstrip()}
+WHERE round(i.n_inter / cast(na.n_sh + nb.n_sh - i.n_inter AS double), 6) >= 0.5
+"""
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE},
+{SHINGLES_CTE},
+{SHINGLES_NONEMPTY},
+fp AS (SELECT doc_id, min(md5(shingle)) AS fp FROM shn GROUP BY doc_id),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+{JACCARD_TAIL.strip()}
+WHERE round(i.n_inter / cast(na.n_sh + nb.n_sh - i.n_inter AS double), 6) >= 0.3
+"""
+
+
+def simhash_dup_groups_sql(n_bits: int = 16) -> str:
+    votes = ",\n    ".join(
+        (
+            f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}"
+        )
+        for j in range(n_bits)
+    )
+    bits = " || ".join(f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(n_bits))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM corpus
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {bits} AS simhash FROM votes)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM sigs GROUP BY simhash HAVING count(*) >= 2
+"""
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> cast({a}[i] AS double) * cast({b}[i] AS double)))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> cast(x AS double) * cast(x AS double))))"
+
+
+def _cosine(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def brute_force_topk_sql(k: int = 3, n_queries: int = 20) -> str:
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+    {_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _bucket_sql(col: str) -> str:
+    return " || ".join(
+        f"(CASE WHEN cast({col}[{d + 1}] AS double) > 0 THEN '1' ELSE '0' END)"
+        for d in LSH_DIMS
+    )
+
+
+def lsh_bucketed_ann_sql(k: int = 3, n_queries: int = 20) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+    {_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM emb q JOIN emb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def embedding_near_dup_sql(threshold: float) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+  {_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cosine('a.embedding', 'b.embedding')} >= {threshold}
+"""
+
+
+def multimodal_features_sql() -> str:
+    return """
+SELECT doc_id,
+  cast(octet_length(encode(text)) AS int) AS byte_len,
+  upper(substr(hex(encode(text)), 1, 8)) AS header_hex,
+  cast(octet_length(encode(text)) % 640 AS int) AS width,
+  cast(octet_length(encode(text)) * 7 % 480 AS int) AS height,
+  cast(octet_length(encode(text)) % 30 + 1 AS int) AS n_frames
+FROM documents
+"""
+
+
+def frame_sample_sql(stride: int = 64) -> str:
+    return f"""
+SELECT doc_id, cast(frame_idx AS int) AS frame_idx,
+  md5(substring(text, frame_idx * {stride} + 1, {stride})) AS frame_md5
+FROM (
+  SELECT doc_id, text,
+    unnest(generate_series(0, cast(floor((length(text) - 1) / {stride}) AS int))) AS frame_idx
+  FROM documents
+)
+"""

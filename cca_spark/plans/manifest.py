@@ -1,0 +1,141 @@
+"""Checkpoint/resume with per-partition lineage manifests.
+
+Reference analog: CCA never recomputes a parse/diff — results are keyed by
+content hash in cache dirs and probed before any work
+(/root/reference/python/src/cca/ccautil/diffts.py:125-207,
+astcore.ml:89-119); its task pool deletes completed task files so a
+crashed run resumes from the remainder (tp.py:248-259).
+
+Spark mapping (Iceberg-shaped, parquet-backed in this sandbox):
+
+- the unit of work is an input partition (``date_bucket``) — the same
+  granularity a production job gets from ``days(ts)`` Iceberg partitions;
+- a **manifest table** records one lineage row per processed partition:
+  input rows seen, facts routed per sink, wall time, run id;
+- a run processes only unmanifested partitions; the data write uses
+  dynamic partition overwrite so a crash between data-write and
+  manifest-write re-runs that partition idempotently (write is atomic per
+  partition, manifest is the commit record — the same two-phase discipline
+  as Iceberg snapshot + metadata commit);
+- metrics come from one aggregate over the routed output (observable in
+  the manifest), mirroring CCA's per-pair ``stat``/``info`` sidecars
+  (stat.ml:233-284).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "date_bucket string, n_turns long, n_facts long, n_dead_letter long, "
+    "wall_ms long, run_id string"
+)
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def _facts_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "facts")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = _manifest_dir(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def processed_partitions(spark: SparkSession, out_dir: str) -> set[str]:
+    return {
+        r["date_bucket"] for r in read_manifest(spark, out_dir).select("date_bucket").collect()
+    }
+
+
+def run_with_resume(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    max_partitions: int | None = None,
+    parse_strategy: str = "pandas",
+) -> dict:
+    """Process unmanifested date-buckets; return run metrics.
+
+    ``max_partitions`` caps work per invocation (used by tests to simulate
+    a crashed/partial run; in production it bounds a backfill wave).
+    """
+    from cca_spark.plans.pipeline import routed_facts
+    from cca_spark.transcripts import load_transcripts
+
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:12]
+    transcripts = load_transcripts(spark, sf_dir).withColumn(
+        "date_bucket_in", F.col("ts").cast("date").cast("string")
+    )
+
+    all_parts = {
+        r["date_bucket_in"]
+        for r in transcripts.select("date_bucket_in").distinct().collect()
+    }
+    done = processed_partitions(spark, out_dir)
+    pending = sorted(all_parts - done)
+    if max_partitions is not None:
+        pending = pending[:max_partitions]
+    if not pending:
+        return {"run_id": run_id, "processed": [], "skipped": len(done)}
+
+    subset = transcripts.filter(F.col("date_bucket_in").isin(pending)).drop("date_bucket_in")
+    routed = routed_facts(spark, subset, parse_strategy=parse_strategy).withColumn(
+        "date_bucket", F.col("date_bucket").cast("string")
+    )
+
+    # one partitioned write, dynamic overwrite => idempotent per partition
+    (
+        routed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date_bucket", "sink")
+        .parquet(_facts_dir(out_dir))
+    )
+
+    # lineage metrics from the committed output (read-back = what a
+    # downstream consumer will see, not what we hoped we wrote)
+    committed = spark.read.parquet(_facts_dir(out_dir)).filter(
+        F.col("date_bucket").isin(pending)
+    )
+    per_part = (
+        committed.groupBy("date_bucket")
+        .agg(
+            F.count("*").alias("n_facts"),
+            F.sum(F.when(F.col("sink") == "dead_letter", 1).otherwise(0)).alias("n_dead_letter"),
+        )
+    )
+    turns_per_part = (
+        subset.withColumn("date_bucket", F.col("ts").cast("date").cast("string"))
+        .groupBy("date_bucket")
+        .agg(F.count("*").alias("n_turns"))
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    manifest_rows = (
+        turns_per_part.join(per_part, "date_bucket", "left")
+        .select(
+            "date_bucket",
+            F.col("n_turns").cast("long"),
+            F.coalesce(F.col("n_facts"), F.lit(0)).cast("long").alias("n_facts"),
+            F.coalesce(F.col("n_dead_letter"), F.lit(0)).cast("long").alias("n_dead_letter"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    manifest_rows.write.mode("append").parquet(_manifest_dir(out_dir))
+    return {"run_id": run_id, "processed": pending, "skipped": len(done)}
+
+
+def read_facts(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(_facts_dir(out_dir))

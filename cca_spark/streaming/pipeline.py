@@ -1,0 +1,108 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is strictly batch (incrementality via content-hash caches,
+/root/reference/README.md:39); our batch path mirrors that with manifest
+resume. This module is the *streaming* extension the north star allows:
+the same parse/enrich/route operators applied to a ``readStream`` source —
+the operator code is shared verbatim because they are all
+stream-compatible (mapInPandas, broadcast joins, column expressions).
+
+Aggregation differs: streaming group-bys need watermarks and can't use
+exact countDistinct — ``stream_agg_per_sink`` uses approx_count_distinct
+under a watermark, and ``running_conv_state`` shows
+``applyInPandasWithState`` (custom stateful operator: per-conversation
+running fact counter emitting one update per batch).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz"
+)
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of transcript turns (prod: Iceberg/Kafka source)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(input_dir)
+    )
+
+
+def stream_routed_facts(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """parse→enrich→route on a stream — same operator functions as batch."""
+    from cca_spark.operators.enrich import enrich_facts
+    from cca_spark.operators.parse import parse_facts
+    from cca_spark.operators.route import route_facts
+
+    return route_facts(enrich_facts(spark, parse_facts(stream)))
+
+
+def stream_agg_per_sink(routed: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked per-(sink, tool, day) streaming aggregate."""
+    return (
+        routed.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+        .groupBy(
+            F.window("ts_tz", "1 day").alias("day_window"),
+            F.col("sink"),
+            F.col("tool"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+        )
+    )
+
+
+_STATE_SCHEMA = "n_facts long"
+_OUT_SCHEMA = "conv_id string, n_facts_total long"
+
+
+def _update_conv_state(key, pdfs, state: GroupState):
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    total = (state.get[0] if state.exists else 0) + n
+    state.update((total,))
+    yield pd.DataFrame({"conv_id": [key[0]], "n_facts_total": [total]})
+
+
+def running_conv_state(routed: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation running fact count
+    (applyInPandasWithState) — the streaming analog of CCA's per-project
+    accumulating factbase."""
+    return (
+        routed.groupBy("conv_id")
+        .applyInPandasWithState(
+            _update_conv_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, input_dir: str, query_name: str = "routed_stream"
+) -> DataFrame:
+    """Drive the stream to completion over the currently-available files
+    (availableNow) into an in-memory table; returns the result DataFrame."""
+    stream = stream_transcripts(spark, input_dir)
+    routed = stream_routed_facts(spark, stream)
+    q = (
+        routed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

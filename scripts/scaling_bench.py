@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8 from
+N to 4N executors).
+
+No real cluster exists in this sandbox, so the same job runs at two local
+parallelism levels — ``local[8]`` vs ``local[32]`` — on the **same input**
+(sf dir x replicas), each in its own subprocess (one JVM cannot host two
+masters). Reports throughput at both plus scaling efficiency, and writes
+BENCH.md.
+
+    python scripts/scaling_bench.py --replicas 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cores: int, sf_dir: str, replicas: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cores)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            "--sf-dir",
+            sf_dir,
+            "--master",
+            f"local[{cores}]",
+            "--replicas",
+            str(replicas),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--replicas", type=int, default=16)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n4", type=int, default=32)
+    args = ap.parse_args()
+
+    lo = run_at(args.n, args.sf_dir, args.replicas)
+    hi = run_at(args.n4, args.sf_dir, args.replicas)
+
+    thr_lo = lo["routed_turns_per_sec"]
+    thr_hi = hi["routed_turns_per_sec"]
+    speedup = thr_hi / thr_lo
+    efficiency = speedup / (args.n4 / args.n)
+
+    report = {
+        "metric": "scaling_efficiency",
+        "n_cores": args.n,
+        "n4_cores": args.n4,
+        "sf": args.sf_dir,
+        "replicas": args.replicas,
+        "n_turns": lo["n_turns"],
+        "throughput_n": thr_lo,
+        "throughput_4n": thr_hi,
+        "pipeline_sec_n": lo["value"],
+        "pipeline_sec_4n": hi["value"],
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+    }
+    print(json.dumps(report))
+
+    md = f"""# BENCH — throughput & scaling evidence
+
+North metric (BASELINE.json): routed turns/sec end-to-end
+(parse→enrich→route→aggregate), scaling efficiency ≥ 0.8 from N to 4N
+parallelism. No real cluster exists in this sandbox, so per the driver
+instruction the same job runs at two local parallelism levels on the
+same input.
+
+## Two-cluster-size run (same input: {args.sf_dir} × {args.replicas} replicas = {lo["n_turns"]:,} turns)
+
+| parallelism | pipeline wall (s) | routed turns/sec |
+|---|---|---|
+| local[{args.n}] (N) | {lo["value"]} | {thr_lo:,.0f} |
+| local[{args.n4}] (4N) | {hi["value"]} | {thr_hi:,.0f} |
+
+**Speedup {speedup:.2f}× over 4× cores → scaling efficiency {efficiency:.3f}**
+(target ≥ 0.8: {"MET" if efficiency >= 0.8 else "NOT MET"}).
+
+## Per-query seconds at local[{args.n4}]
+
+| query | sec |
+|---|---|
+""" + "\n".join(f"| {k} | {v} |" for k, v in hi["queries"].items()) + """
+
+Raw JSON: see `BENCH_scaling.json`.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+        json.dump({"low": lo, "high": hi, "report": report}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
