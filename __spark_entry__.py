@@ -159,10 +159,20 @@ def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cca_spark.operators import dedup as DD
+    from cca_spark.operators import delta as DL
     from cca_spark.operators import multimodal as MM
     from cca_spark.operators import relational as R
     from cca_spark.operators import similarity as SIM
     from cca_spark.operators import textstats as TS
+
+    delta_ops = {
+        "fragment_sets": DL.fragment_sets,
+        "cdc_merge": DL.cdc_merge,
+        "group_count_having": DL.group_count_having,
+        "pivot_role_sink": DL.pivot_role_sink,
+        "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
+        "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
+    }
 
     training = {
         "lang_id_heuristic": TS.lang_id,
@@ -205,7 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ancestor_paths": R.ancestor_paths,
         "token_explode_counts": R.token_explode_counts,
     }
-    all_queries = training | rel | {
+    all_queries = delta_ops | training | rel | {
         "pipeline_agg_per_sink": q_pipeline_agg,
         "parse_route_facts": q_parse_facts,
         "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
@@ -262,7 +272,15 @@ def oracle_sql() -> dict[str, str]:
         "ancestor_paths": OR.ancestor_paths_sql(),
         "token_explode_counts": OR.token_explode_counts_sql(),
     }
-    return training | rel | {
+    delta_ops = {
+        "fragment_sets": OR.fragment_sets_sql(sf),
+        "cdc_merge": OR.cdc_merge_sql(),
+        "group_count_having": OR.group_count_having_sql(sf),
+        "pivot_role_sink": OR.pivot_role_sink_sql(sf),
+        # lcs_pair_alignment, approx_stats: intentionally no oracle
+        # (difflib alignment / approximate sketches are not SQL-expressible)
+    }
+    return delta_ops | training | rel | {
         "pipeline_agg_per_sink": oracles.with_routed(
             sf,
             "SELECT sink, tool, date_bucket, count(*) AS n_rows, "

@@ -1,0 +1,164 @@
+"""Delta/fragment/alignment operators — SURVEY §2.11 analogs.
+
+The reference's patch subsystem generates XML deltas from edit scripts and
+applies them back (/root/reference/src/ast/analyzing/engine/edit.ml:38-57,
+common/delta.ml, delta_interpret.ml). In a log pipeline the delta is a
+**changelog table** applied with CDC merge semantics; fragment sets
+(/root/reference/python/src/cca/ccautil/fragment.py:29-103) become
+array-of-spans columns with deterministic hashes; the LCS alignment used by
+flat tree diff (/root/reference/src/ast/analyzing/common/adiff.ml,
+java_token_diff.py:27-167) becomes a grouped pandas operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def fragment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: per-turn sorted span-interval set with hash identity.
+
+    Reference: GNID-interval fragment sets hashed for clone/origin
+    tracking (fragment.py:29-103 — sorted intervals, digest identity).
+    Here: each turn's extracted fact spans, sorted, fingerprinted."""
+    from cca_spark.plans.pipeline import routed_facts
+    from cca_spark.transcripts import load_transcripts
+
+    facts = routed_facts(spark, load_transcripts(spark, sf_dir))
+    spans = facts.select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(":", "span_start", "span_end", "rule_id").alias("frag"),
+    )
+    return (
+        spans.groupBy("conv_id", "turn_idx")
+        .agg(F.sort_array(F.collect_list("frag")).alias("frags"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat_ws(",", "frags").alias("fragment_set"),
+            F.md5(F.concat_ws(",", "frags")).alias("fragment_hash"),
+            F.size("frags").cast("int").alias("n_fragments"),
+        )
+    )
+
+
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2 analog: apply a changelog (delta) to a snapshot — MERGE INTO
+    emulation via anti-join + union (no Delta/Iceberg jar in this image;
+    same logical plan an Iceberg MERGE produces: find unmatched, replace
+    matched, drop deletes).
+
+    Snapshot: customers. Delta (derived deterministically): every customer
+    with custkey%10==0 is deleted, %10 in (1,2) gets acctbal +100 (update),
+    and a new row custkey+1000000 is inserted for %10==3."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    deletes = cust.filter(F.col("c_custkey") % 10 == 0).select("c_custkey")
+    updates = cust.filter((F.col("c_custkey") % 10).isin(1, 2)).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 100).alias("c_acctbal")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), "c_name").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changed_keys = deletes.unionByName(updates.select("c_custkey"))
+    untouched = cust.join(changed_keys, "c_custkey", "left_anti")
+    merged = untouched.unionByName(updates).unionByName(inserts)
+    return merged.select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal"), 2).alias("c_acctbal")
+    )
+
+
+LCS_SCHEMA = "doc_a long, doc_b long, lcs_len int, sim_ratio double"
+
+
+def lcs_pair_alignment(spark: SparkSession, sf_dir: str, n_pairs: int = 50) -> DataFrame:
+    """J9/D5: LCS sequence alignment between token streams of paired docs
+    (consecutive doc_ids), via difflib inside a grouped pandas operator —
+    the reference's Adiff/java_token_diff shape (alignment is inherently
+    sequential per pair; the *pairs* parallelize).
+
+    Verified against a pure-Python oracle in tests (not SQL-expressible).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 2 * n_pairs)).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+    )
+    b = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 2 * n_pairs)).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+    )
+    pairs = a.join(b, "pair_id")
+
+    def align(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import difflib
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ta, tb = r.text_a.split(), r.text_b.split()
+                sm = difflib.SequenceMatcher(None, ta, tb, autojunk=False)
+                lcs = sum(bl.size for bl in sm.get_matching_blocks())
+                rows.append(
+                    (r.doc_a, r.doc_b, lcs, round(2.0 * lcs / (len(ta) + len(tb)), 6))
+                )
+            yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "lcs_len", "sim_ratio"]).astype(
+                {"doc_a": "int64", "doc_b": "int64", "lcs_len": "int32", "sim_ratio": "float64"}
+            )
+
+    return pairs.mapInPandas(align, schema=LCS_SCHEMA)
+
+
+def group_count_having(spark: SparkSession, sf_dir: str, min_extra: int = 5) -> DataFrame:
+    """A2: group-count with HAVING — keep conversations with at least
+    ``min_extra`` routed facts (reference: extra-variable counting with
+    min_extra, find_change_patterns.py:2224-2336)."""
+    from cca_spark.plans.pipeline import routed_facts
+    from cca_spark.transcripts import load_transcripts
+
+    facts = routed_facts(spark, load_transcripts(spark, sf_dir))
+    return (
+        facts.groupBy("conv_id")
+        .agg(F.count("*").alias("n_facts"))
+        .filter(F.col("n_facts") >= min_extra)
+    )
+
+
+def pivot_role_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: role × sink fact counts (fixed sink columns so the plan is
+    one pass; oracle = CASE sums)."""
+    from cca_spark.plans.pipeline import routed_facts
+    from cca_spark.rules import DEAD_LETTER_SINK, SINKS
+    from cca_spark.transcripts import load_transcripts
+
+    facts = routed_facts(spark, load_transcripts(spark, sf_dir))
+    return (
+        facts.groupBy("role")
+        .pivot("sink", SINKS + [DEAD_LETTER_SINK])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, SINKS + [DEAD_LETTER_SINK])
+    )
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB dashboards: HLL distinct +
+    approximate percentiles (no exact-SQL oracle; sanity-tested in pytest
+    against exact values)."""
+    from cca_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    return t.groupBy("role").agg(
+        F.approx_count_distinct("conv_id").alias("approx_convs"),
+        F.percentile_approx(F.length("text"), [0.5, 0.95, 0.99], 10000).alias("len_pcts"),
+        F.count("*").alias("n_turns"),
+    )

@@ -65,17 +65,21 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd
     the reference's OCaml per-node scan, minus all serde.
     """
     out: dict[str, list] = {c: [] for c in FACT_COLUMNS}
-    texts = pdf["text"].tolist()
+    text_s = pdf["text"].fillna("")
+    texts = text_s.tolist()
     conv_ids = pdf["conv_id"].tolist()
     turn_idxs = pdf["turn_idx"].tolist()
     roles = pdf["role"].tolist()
     tools = pdf["tool"].tolist()
     tss = pdf["ts"].tolist()
-    for i in range(len(texts)):
-        text = texts[i]
-        if not text:
-            continue
-        for rule, cre in bank:
+    for rule, cre in bank:
+        # vectorized prefilter (C regex over the whole Arrow batch): the
+        # finditer loop only ever touches rows known to match this rule —
+        # the same cheap-filter-before-expensive-work discipline as the
+        # reference's similarity prefilters (comparison.ml:30-38)
+        mask = text_s.str.contains(cre, regex=True)
+        for i in mask.to_numpy().nonzero()[0]:
+            text = texts[i]
             for m in cre.finditer(text):
                 start, end = m.start(), m.end()
                 out["entity_id"].append(
@@ -112,6 +116,12 @@ def parse_facts(transcripts: DataFrame, strategy: str = "pandas") -> DataFrame:
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # compile once per task (reference compiles its rule bank once
             # per language engine instance, java_change.ml:788-793)
+            import warnings
+
+            warnings.filterwarnings(
+                "ignore", message="This pattern is interpreted as a regular expression"
+            )
+            warnings.filterwarnings("ignore", message=".*match groups.*")
             bank = [(r, re.compile(r.pattern)) for r in RULES]
             for pdf in batches:
                 yield _extract_batch(pdf, bank)

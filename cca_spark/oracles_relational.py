@@ -203,3 +203,51 @@ FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> ''
 GROUP BY token
 """
+
+def fragment_sets_sql(sf: str) -> str:
+    return oracles.with_routed(
+        sf,
+        """
+SELECT conv_id, turn_idx,
+  string_agg(frag, ',' ORDER BY frag) AS fragment_set,
+  md5(string_agg(frag, ',' ORDER BY frag)) AS fragment_hash,
+  cast(count(*) AS int) AS n_fragments
+FROM (
+  SELECT conv_id, turn_idx,
+    cast(span_start AS varchar) || ':' || cast(span_end AS varchar) || ':' || rule_id AS frag
+  FROM routed)
+GROUP BY conv_id, turn_idx
+""",
+    )
+
+
+def cdc_merge_sql() -> str:
+    return """
+WITH cust AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+merged AS (
+  SELECT c_custkey, c_name, c_acctbal FROM cust WHERE c_custkey % 10 NOT IN (0, 1, 2)
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal + 100 FROM cust WHERE c_custkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new-' || c_name, cast(0.0 AS double) FROM cust WHERE c_custkey % 10 = 3
+)
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM merged
+"""
+
+
+def group_count_having_sql(sf: str, min_extra: int = 5) -> str:
+    return oracles.with_routed(
+        sf,
+        f"""
+SELECT conv_id, count(*) AS n_facts FROM routed
+GROUP BY conv_id HAVING count(*) >= {min_extra}
+""",
+    )
+
+
+def pivot_role_sink_sql(sf: str) -> str:
+    sinks = ["tool_invocation", "code_span", "error_signature", "dead_letter"]
+    cases = ",\n  ".join(
+        f"cast(sum(CASE WHEN sink = '{s}' THEN 1 ELSE 0 END) AS bigint) AS {s}" for s in sinks
+    )
+    return oracles.with_routed(sf, f"SELECT role,\n  {cases}\nFROM routed GROUP BY role")

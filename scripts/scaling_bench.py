@@ -50,7 +50,7 @@ def main() -> None:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    ap.add_argument("--replicas", type=int, default=16)
+    ap.add_argument("--replicas", type=int, default=64)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
     args = ap.parse_args()
