@@ -135,44 +135,64 @@ def parse_facts(transcripts: DataFrame, strategy: str = "pandas") -> DataFrame:
 
 
 def _parse_facts_sql(transcripts: DataFrame) -> DataFrame:
-    """JVM-only variant: regexp_extract_all per rule, union, explode.
+    """JVM-only variant: ONE scan, all rules evaluated in a single
+    whole-stage-codegen projection, nested explode.
+
+    Each row projects ``array<struct(rule meta, matches)>`` — one
+    ``regexp_extract_all`` per rule — then two explodes fan out to one row
+    per (rule, match). A per-rule union of full scans would read the
+    10^12-turn table N_rules times; this reads it once.
 
     Spans are recovered with ``instr`` (valid because each rule matches at
     most one distinct substring per generated turn); the pandas strategy is
-    authoritative for overlapping/multi-match inputs.
+    authoritative for overlapping/multi-match inputs. The group value is
+    re-extracted from the short match string, not the full text.
     """
-    parts = []
-    for r in RULES:
-        matched = transcripts.withColumn(
-            "m", F.regexp_extract_all(F.col("text"), F.lit(r.pattern), 0)
-        ).withColumn("m0", F.explode("m"))
-        v = F.regexp_extract(F.col("m0"), r.pattern, 1 if re.compile(r.pattern).groups else 0)
-        start = F.instr(F.col("text"), F.col("m0")) - F.lit(1)
-        end = start + F.length("m0")
-        parts.append(
-            matched.select(
-                F.concat_ws(
-                    "-",
-                    F.col("conv_id"),
-                    F.col("turn_idx"),
-                    start,
-                    end,
-                    F.lit(r.rule_id),
-                ).alias("entity_id"),
-                "conv_id",
-                "turn_idx",
-                "role",
-                "tool",
-                "ts",
+    rule_structs = F.array(
+        *[
+            F.struct(
                 F.lit(r.rule_id).alias("rule_id"),
                 F.lit(r.sink).alias("sink"),
                 F.lit(r.significance).cast("int").alias("significance"),
-                start.cast("int").alias("span_start"),
-                end.cast("int").alias("span_end"),
-                v.alias("value"),
+                F.regexp_extract_all(F.col("text"), F.lit(r.pattern), 0).alias("ms"),
             )
+            for r in RULES
+        ]
+    )
+    value = None
+    for r in RULES:
+        g = 1 if re.compile(r.pattern).groups else 0
+        branch = F.regexp_extract(F.col("m0"), r.pattern, g)
+        value = (
+            F.when(F.col("r.rule_id") == r.rule_id, branch)
+            if value is None
+            else value.when(F.col("r.rule_id") == r.rule_id, branch)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    start = F.instr(F.col("text"), F.col("m0")) - F.lit(1)
+    end = start + F.length("m0")
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", "role", "tool", "ts", "text",
+            F.explode(rule_structs).alias("r"),
+        )
+        .select(
+            "conv_id", "turn_idx", "role", "tool", "ts", "text", "r",
+            F.explode(F.col("r.ms")).alias("m0"),
+        )
+        .select(
+            F.concat_ws(
+                "-", F.col("conv_id"), F.col("turn_idx"), start, end, F.col("r.rule_id")
+            ).alias("entity_id"),
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            "ts",
+            F.col("r.rule_id").alias("rule_id"),
+            F.col("r.sink").alias("sink"),
+            F.col("r.significance").alias("significance"),
+            start.cast("int").alias("span_start"),
+            end.cast("int").alias("span_end"),
+            value.alias("value"),
+        )
+    )
