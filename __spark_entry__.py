@@ -165,7 +165,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cca_spark.operators import similarity as SIM
     from cca_spark.operators import textstats as TS
 
+    def q_conv_diff_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cca_spark.operators.aggregate import conv_diff_stat
+        from cca_spark.transcripts import load_transcripts
+
+        t = load_transcripts(spark, sf_dir)
+        return conv_diff_stat(t, _routed(spark, sf_dir))
+
     delta_ops = {
+        "patch_hunks": DL.patch_hunks,
+        "conv_diff_stat": q_conv_diff_stat,
         "fragment_sets": DL.fragment_sets,
         "cdc_merge": DL.cdc_merge,
         "group_count_having": DL.group_count_having,
@@ -273,6 +282,8 @@ def oracle_sql() -> dict[str, str]:
         "token_explode_counts": OR.token_explode_counts_sql(),
     }
     delta_ops = {
+        "patch_hunks": OR.patch_hunks_sql(sf),
+        "conv_diff_stat": OR.conv_diff_stat_sql(sf),
         "fragment_sets": OR.fragment_sets_sql(sf),
         "cdc_merge": OR.cdc_merge_sql(),
         "group_count_having": OR.group_count_having_sql(sf),

@@ -118,3 +118,44 @@ def min_max_turns(transcripts: DataFrame) -> DataFrame:
         F.min_by("role", "turn_idx").alias("first_role"),
         F.max_by("role", "turn_idx").alias("last_role"),
     )
+
+
+def conv_diff_stat(transcripts: DataFrame, routed: DataFrame) -> DataFrame:
+    """A5: per-conversation stat aggregate — the diff_stat analog.
+
+    Reference: per-file-pair stat rows with per-kind edit counts plus
+    derived ratio columns (similarity, change ratio, unmodified rate;
+    /root/reference/src/ast/analyzing/common/stat.ml:118-137,188-284).
+    Here: per-conversation fact counts by sink plus facts-per-turn and
+    identified-rate ratios. Ratios are floor'd at 6dp so Spark and the
+    DuckDB oracle agree bit-for-bit (both compute the same IEEE division).
+
+    Both inputs aggregate before the join, so the join is
+    conversations-sized, not facts-sized."""
+    turns = transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    per_sink = routed.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(F.when(F.col("sink") == "tool_invocation", 1).otherwise(0)).alias("n_tool"),
+        F.sum(F.when(F.col("sink") == "code_span", 1).otherwise(0)).alias("n_code"),
+        F.sum(F.when(F.col("sink") == "error_signature", 1).otherwise(0)).alias("n_err"),
+        F.sum(F.when(F.col("sink") == "dead_letter", 1).otherwise(0)).alias("n_dead"),
+    )
+    f6 = lambda c: (F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)).alias  # noqa: E731
+    out = turns.join(per_sink, "conv_id", "left").na.fill(
+        0, ["n_facts", "n_tool", "n_code", "n_err", "n_dead"]
+    )
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_facts",
+        "n_tool",
+        "n_code",
+        "n_err",
+        "n_dead",
+        f6(F.col("n_facts").cast("double") / F.col("n_turns").cast("double"))(
+            "facts_per_turn"
+        ),
+        F.when(F.col("n_facts") > 0, 
+               F.floor((F.lit(1.0) - F.col("n_dead").cast("double") / F.col("n_facts").cast("double")) * F.lit(1000000.0)) / F.lit(1000000.0)
+        ).alias("identified_rate"),
+    )

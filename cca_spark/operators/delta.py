@@ -162,3 +162,44 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx(F.length("text"), [0.5, 0.95, 0.99], 10000).alias("len_pcts"),
         F.count("*").alias("n_turns"),
     )
+
+
+# Dialect-shared (Spark SQL + DuckDB) construction of a deterministic
+# unified-diff-shaped patch per document; even doc_ids get a second hunk.
+PATCH_TEXT_SQL = """
+'--- a/f' || cast(doc_id % 50 AS string) || '.txt' || chr(10) ||
+'+++ b/f' || cast(doc_id % 50 AS string) || '.txt' || chr(10) ||
+'@@ -' || cast(doc_id % 90 + 1 AS string) || ',' || cast(doc_id % 5 + 1 AS string) ||
+' +' || cast(doc_id % 80 + 1 AS string) || ',' || cast(doc_id % 6 + 1 AS string) || ' @@' || chr(10) ||
+'-old line' || chr(10) || '+new line' ||
+CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+  '@@ -' || cast(doc_id % 30 + 100 AS string) || ',3 +' || cast(doc_id % 20 + 100 AS string) || ',4 @@'
+ELSE '' END
+""".strip()
+
+HUNK_RE = r"@@ -(\d+),(\d+) \+(\d+),(\d+) @@"
+
+
+def patch_hunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: plain-text unified-diff hunk parsing.
+
+    Reference: ``plain_patch.py:43-94`` parses ``@@ -a,b +c,d @@`` hunk
+    heads with a compiled regex into Hunk(head ranges) objects. Same
+    regex-parse-of-diff-shaped-text, expressed as one JVM projection:
+    regexp_extract_all over the patch text, explode, extract the four
+    range components from the short header string. One scan, no UDF."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = docs.select("doc_id", F.expr(PATCH_TEXT_SQL).alias("patch"))
+    h = p.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("patch"), F.lit(HUNK_RE), 0)).alias("hdr"),
+    )
+    g = lambda i: F.regexp_extract(F.col("hdr"), HUNK_RE, i).cast("int")  # noqa: E731
+    return h.select(
+        "doc_id",
+        "hdr",
+        g(1).alias("old_start"),
+        g(2).alias("old_len"),
+        g(3).alias("new_start"),
+        g(4).alias("new_len"),
+    )

@@ -251,3 +251,47 @@ def pivot_role_sink_sql(sf: str) -> str:
         f"cast(sum(CASE WHEN sink = '{s}' THEN 1 ELSE 0 END) AS bigint) AS {s}" for s in sinks
     )
     return oracles.with_routed(sf, f"SELECT role,\n  {cases}\nFROM routed GROUP BY role")
+
+
+def patch_hunks_sql(sf: str) -> str:
+    from cca_spark.operators.delta import HUNK_RE, PATCH_TEXT_SQL
+
+    patch = PATCH_TEXT_SQL.replace("AS string", "AS varchar")
+    return f"""
+WITH p AS (SELECT doc_id, {patch} AS patch FROM documents),
+h AS (SELECT doc_id, unnest(regexp_extract_all(patch, '{HUNK_RE}')) AS hdr FROM p)
+SELECT doc_id, hdr,
+  cast(regexp_extract(hdr, '{HUNK_RE}', 1) AS int) AS old_start,
+  cast(regexp_extract(hdr, '{HUNK_RE}', 2) AS int) AS old_len,
+  cast(regexp_extract(hdr, '{HUNK_RE}', 3) AS int) AS new_start,
+  cast(regexp_extract(hdr, '{HUNK_RE}', 4) AS int) AS new_len
+FROM h
+"""
+
+
+def conv_diff_stat_sql(sf: str) -> str:
+    return oracles.with_routed(
+        sf,
+        """
+, turns AS (
+  SELECT conv_id, count(*) AS n_turns FROM t GROUP BY conv_id),
+per_sink AS (
+  SELECT conv_id, count(*) AS n_facts,
+    sum(CASE WHEN sink = 'tool_invocation' THEN 1 ELSE 0 END) AS n_tool,
+    sum(CASE WHEN sink = 'code_span' THEN 1 ELSE 0 END) AS n_code,
+    sum(CASE WHEN sink = 'error_signature' THEN 1 ELSE 0 END) AS n_err,
+    sum(CASE WHEN sink = 'dead_letter' THEN 1 ELSE 0 END) AS n_dead
+  FROM routed GROUP BY conv_id)
+SELECT t.conv_id, t.n_turns,
+  cast(coalesce(p.n_facts, 0) AS bigint) AS n_facts,
+  cast(coalesce(p.n_tool, 0) AS bigint) AS n_tool,
+  cast(coalesce(p.n_code, 0) AS bigint) AS n_code,
+  cast(coalesce(p.n_err, 0) AS bigint) AS n_err,
+  cast(coalesce(p.n_dead, 0) AS bigint) AS n_dead,
+  floor(cast(coalesce(p.n_facts, 0) AS double) / cast(t.n_turns AS double) * 1000000.0) / 1000000.0 AS facts_per_turn,
+  CASE WHEN coalesce(p.n_facts, 0) > 0 THEN
+    floor((1.0 - cast(p.n_dead AS double) / cast(p.n_facts AS double)) * 1000000.0) / 1000000.0
+  END AS identified_rate
+FROM turns t LEFT JOIN per_sink p ON t.conv_id = p.conv_id
+""",
+    )
