@@ -123,7 +123,12 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--master", default=None)
-    ap.add_argument("--replicas", type=int, default=1)
+    ap.add_argument(
+        "--replicas",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "16")),
+        help="corpus multiplier; >1 uses the pre-materialized parquet corpus",
+    )
     args = ap.parse_args()
     result = run_bench(args.sf_dir, args.master, args.replicas)
     print(json.dumps(result))

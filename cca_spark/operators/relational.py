@@ -170,19 +170,19 @@ def range_containment_suppression(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("span_end").alias("s_end"),
     )
     inner = facts.filter(F.col("sink") != "code_span")
-    contained = (
-        inner.join(
-            spans,
-            (F.col("conv_id") == F.col("s_conv_id"))
-            & (F.col("turn_idx") == F.col("s_turn_idx"))
-            & (F.col("span_start") >= F.col("s_start"))
-            & (F.col("span_end") <= F.col("s_end")),
-            "left_semi",
-        )
-    )
-    return inner.join(contained, ["entity_id"], "left_anti").select(
-        "entity_id", "sink", "rule_id", "span_start", "span_end"
-    )
+    # Survivors = facts with NO containing span: one anti join on the
+    # (conv_id, turn_idx) equi prefix with the range predicate as the
+    # join residual. (A semi join for "contained" followed by an anti
+    # join on entity_id computes the same set with one extra pass over
+    # the fact stream — 3 parse evaluations instead of 2.)
+    return inner.join(
+        spans,
+        (F.col("conv_id") == F.col("s_conv_id"))
+        & (F.col("turn_idx") == F.col("s_turn_idx"))
+        & (F.col("span_start") >= F.col("s_start"))
+        & (F.col("span_end") <= F.col("s_end")),
+        "left_anti",
+    ).select("entity_id", "sink", "rule_id", "span_start", "span_end")
 
 
 def union_alternative_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
