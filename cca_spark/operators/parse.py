@@ -73,11 +73,13 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd
     tools = pdf["tool"].tolist()
     tss = pdf["ts"].tolist()
     for rule, cre in bank:
-        # vectorized prefilter (C regex over the whole Arrow batch): the
-        # finditer loop only ever touches rows known to match this rule —
-        # the same cheap-filter-before-expensive-work discipline as the
-        # reference's similarity prefilters (comparison.ml:30-38)
-        mask = text_s.str.contains(cre, regex=True)
+        # vectorized LITERAL prefilter over the whole Arrow batch: every
+        # match of this rule contains rule.anchor, and a plain-substring
+        # scan is several times cheaper than the (backtracking) pattern —
+        # the finditer loop only ever touches rows that can match. Same
+        # cheap-filter-before-expensive-work discipline as the reference's
+        # similarity prefilters (comparison.ml:30-38).
+        mask = text_s.str.contains(rule.anchor, regex=False)
         for i in mask.to_numpy().nonzero()[0]:
             text = texts[i]
             for m in cre.finditer(text):
@@ -116,12 +118,6 @@ def parse_facts(transcripts: DataFrame, strategy: str = "pandas") -> DataFrame:
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # compile once per task (reference compiles its rule bank once
             # per language engine instance, java_change.ml:788-793)
-            import warnings
-
-            warnings.filterwarnings(
-                "ignore", message="This pattern is interpreted as a regular expression"
-            )
-            warnings.filterwarnings("ignore", message=".*match groups.*")
             bank = [(r, re.compile(r.pattern)) for r in RULES]
             for pdf in batches:
                 yield _extract_batch(pdf, bank)

@@ -29,6 +29,7 @@ class Rule:
     sink: str
     pattern: str  # RE2-and-Python-re compatible
     significance: int  # 1-4, reference change_base.ml:72-78
+    anchor: str  # literal substring every match contains — cheap prefilter
 
 
 RULES: list[Rule] = [
@@ -37,24 +38,28 @@ RULES: list[Rule] = [
         "tool_invocation",
         r"TOOL_CALL: name=(\w+) args=(\{[^\n]*\})",
         3,
+        "TOOL_CALL: name=",
     ),
     Rule(
         "r_code_fence",
         "code_span",
         r"```(\w+)\n([\s\S]*?)\n```",
         2,
+        "```",
     ),
     Rule(
         "r_traceback",
         "error_signature",
         r"Traceback \(most recent call last\):\n[\s\S]*?(\w+Error): ([^\n]*)",
         4,
+        "Traceback (most recent call last):",
     ),
     Rule(
         "r_error_code",
         "error_signature",
         r"ERROR (\d+): ([^\n]*)",
         3,
+        "ERROR ",
     ),
 ]
 

@@ -1,0 +1,75 @@
+"""Pure-Python rule-bank unit tests (no SparkSession — run instantly).
+
+The anchor prefilter in ``operators/parse.py::_extract_batch`` skips any
+row whose text lacks ``rule.anchor``. That is only sound if EVERY match of
+the rule's pattern contains the anchor verbatim; these tests pin that
+invariant against representative texts from the transcript templates
+(``cca_spark/transcripts.py``) plus adversarial variants.
+"""
+
+from __future__ import annotations
+
+import re
+
+from cca_spark.rules import RULES
+
+SAMPLE_TEXTS = [
+    # tool turn, error path (template: transcripts.py)
+    'TOOL_CALL: name=bash args={"q": 3}\n'
+    "Traceback (most recent call last):\n"
+    '  File "main.py", line 5, in run\n'
+    "ValueError: bad value 2",
+    # tool turn, ok path
+    'TOOL_CALL: name=write_file args={"path": "f_3.txt"}\nOK rows=7',
+    # assistant turn with code fence and ERROR line
+    "Here is a fix:\n```python\nx = 1\nprint(x)\n```\nDone.\nERROR 502: upstream timeout",
+    # multiple fences / multiple errors in one text
+    "```py\na\n```\nmid\n```sql\nSELECT 1\n```\nERROR 1: a\nERROR 2: b",
+    # near-misses that must NOT match
+    "TOOLCALL: name=x args={}",
+    "ERROR : no code",
+    "`` not a fence ``",
+    "",
+]
+
+
+def test_every_match_contains_anchor():
+    for r in RULES:
+        cre = re.compile(r.pattern)
+        for text in SAMPLE_TEXTS:
+            for m in cre.finditer(text):
+                assert r.anchor in m.group(0), (
+                    f"{r.rule_id}: match {m.group(0)!r} lacks anchor {r.anchor!r} — "
+                    "the literal prefilter would drop this fact"
+                )
+
+
+def test_anchor_is_literal_substring_of_pattern_source():
+    """Anchors must appear in the pattern itself (modulo metachar
+    escaping), so a pattern edit that invalidates the anchor fails here."""
+    for r in RULES:
+        unescaped = re.sub(r"\\([(){}\[\].*+?^$|\\])", r"\1", r.pattern)
+        assert r.anchor in unescaped, (
+            f"{r.rule_id}: anchor {r.anchor!r} not derivable from pattern "
+            f"{r.pattern!r} — update the anchor alongside the pattern"
+        )
+
+
+def test_rules_have_distinct_ids_and_valid_sinks():
+    from cca_spark.rules import DEAD_LETTER_SINK, SINKS
+
+    ids = [r.rule_id for r in RULES]
+    assert len(ids) == len(set(ids))
+    for r in RULES:
+        assert r.sink in SINKS and r.sink != DEAD_LETTER_SINK
+        assert 1 <= r.significance <= 4
+        re.compile(r.pattern)  # must compile
+
+
+def test_patterns_have_no_lookaround_or_backrefs():
+    """Patterns must stay in the shared Python-re ∩ RE2 subset so the
+    DuckDB oracle evaluates identical semantics."""
+    for r in RULES:
+        assert "(?=" not in r.pattern and "(?!" not in r.pattern
+        assert "(?<" not in r.pattern
+        assert not re.search(r"\\[1-9]", r.pattern), "backreference"
