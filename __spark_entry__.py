@@ -151,6 +151,30 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming variant of the flagship aggregate: the same
+    parse/enrich/route operators over a file-source readStream
+    (availableNow), aggregated after the stream drains. Must equal the
+    batch pipeline's oracle exactly — streaming/batch parity is the
+    correctness claim (SURVEY §2.12)."""
+    import hashlib
+    import uuid
+
+    from cca_spark.operators.aggregate import agg_per_sink
+    from cca_spark.streaming.pipeline import run_stream_to_memory
+    from cca_spark.transcripts import load_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    input_dir = f"/tmp/cca_stream_src_{tag}"
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        load_transcripts(spark, sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+    qname = f"q_stream_{uuid.uuid4().hex[:8]}"
+    routed = run_stream_to_memory(spark, input_dir, query_name=qname)
+    return agg_per_sink(routed)
+
+
 def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cca_spark.ontology import ontology_closure_df
 
@@ -194,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": DD.simhash_dup_groups,
         "ann_brute_force_topk": SIM.brute_force_topk,
         "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
+        "ann_ivf": SIM.ivf_ann,
         "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
         "multimodal_features": MM.multimodal_features,
         "multimodal_frame_sample": MM.frame_sample,
@@ -226,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     all_queries = delta_ops | training | rel | {
         "pipeline_agg_per_sink": q_pipeline_agg,
+        "streaming_pipeline_agg": q_streaming_pipeline_agg,
         "parse_route_facts": q_parse_facts,
         "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
         "enrich_tool_ontology": q_enriched_facts,
@@ -260,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": OT.simhash_dup_groups_sql(),
         "ann_brute_force_topk": OT.brute_force_topk_sql(),
         "ann_lsh_bucketed": OT.lsh_bucketed_ann_sql(),
+        "ann_ivf": OT.ivf_ann_sql(),
         "dedup_embedding_cosine": OT.embedding_near_dup_sql(0.35),
         "multimodal_features": OT.multimodal_features_sql(),
         "multimodal_frame_sample": OT.frame_sample_sql(),
@@ -293,6 +320,13 @@ def oracle_sql() -> dict[str, str]:
     }
     return delta_ops | training | rel | {
         "pipeline_agg_per_sink": oracles.with_routed(
+            sf,
+            "SELECT sink, tool, date_bucket, count(*) AS n_rows, "
+            "count(DISTINCT conv_id) AS n_convs FROM routed GROUP BY 1, 2, 3",
+        ),
+        # streaming/batch parity: the stream must reproduce the batch
+        # aggregate bit-for-bit, so it shares the batch oracle
+        "streaming_pipeline_agg": oracles.with_routed(
             sf,
             "SELECT sink, tool, date_bucket, count(*) AS n_rows, "
             "count(DISTINCT conv_id) AS n_convs FROM routed GROUP BY 1, 2, 3",

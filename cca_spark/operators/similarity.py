@@ -139,3 +139,78 @@ def embedding_cosine_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+N_IVF_CENTROIDS = 8
+IVF_CENTROID_STRIDE = 8  # centroid vec_ids: 0, 8, 16, ... 56
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: a fixed stride of corpus vectors
+    stands in for trained k-means centroids (training is out of scope for
+    the oracle; the *plumbing* — assignment join + cell-local search — is
+    identical with trained centroids)."""
+    top = N_IVF_CENTROIDS * IVF_CENTROID_STRIDE
+    return emb.filter(
+        (F.col("vec_id") % IVF_CENTROID_STRIDE == 0) & (F.col("vec_id") < top)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb"))
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine, 6dp-rounded,
+    centroid_id tie-break): broadcast the tiny centroid table, score all
+    cells in one projection, keep rank 1. At 10^12 scale this is the
+    classic IVF build pass — one broadcast join, no shuffle until the
+    per-vector argmin window (partitioned by vec_id, so state is K rows)."""
+    cents = F.broadcast(_ivf_centroids(emb))
+    scored = emb.crossJoin(cents).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("cent_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cent_emb"))),
+            6,
+        ).alias("cent_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_ann(spark: SparkSession, sf_dir: str, k: int = 3, n_queries: int = 20) -> DataFrame:
+    """IVF ANN (nprobe=1): queries search only their own centroid cell;
+    exact cosine rerank within the cell. The scale path: a 10^12-vector
+    corpus is bucketed by cell (Iceberg partition / bucket column), so a
+    query touches 1/K of the data. Recall < 1 by design; determinism
+    exact (6dp rounding + vec_id tie-breaks)."""
+    assigned = ivf_assign(_emb(spark, sf_dir))
+    queries = F.broadcast(
+        assigned.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "cell"
+        )
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "cell"
+    )
+    scored = (
+        queries.join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

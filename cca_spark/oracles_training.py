@@ -267,3 +267,33 @@ FROM (
   FROM documents
 )
 """
+
+
+def ivf_ann_sql(k: int = 3, n_queries: int = 20) -> str:
+    from cca_spark.operators.similarity import IVF_CENTROID_STRIDE, N_IVF_CENTROIDS
+
+    top = N_IVF_CENTROIDS * IVF_CENTROID_STRIDE
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_STRIDE} = 0 AND vec_id < {top}),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_cosine('e.embedding', 'c.cent_emb')} DESC, c.centroid_id ASC
+      ) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+    {_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
