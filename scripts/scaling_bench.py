@@ -38,7 +38,10 @@ def run_at(cores: int, sf_dir: str, replicas: int) -> dict:
     # headline-only + extra trials: the scaling number needs many stable
     # pipeline walls, not the secondary query battery
     env["SPARK_GRAFT_BENCH_ONLY"] = "pipeline"
-    env.setdefault("SPARK_GRAFT_BENCH_TRIALS", "5")
+    env.setdefault("SPARK_GRAFT_BENCH_TRIALS", "3")
+    # full-size warm-up iterations: the 4N leg only reaches JIT steady
+    # state after ~2 full passes (see bench.py)
+    env.setdefault("SPARK_GRAFT_BENCH_WARMUPS", "2")
     out = subprocess.run(
         [
             sys.executable,
