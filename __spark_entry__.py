@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": TS.doc_fingerprint,
         "dedup_exact": DD.exact_dedup,
         "dedup_minhash_lsh": DD.minhash_lsh_pairs,
+        "dedup_keep_list": DD.dedup_keep_list,
         "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,
         "dedup_simhash": DD.simhash_dup_groups,
         "ann_brute_force_topk": SIM.brute_force_topk,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": OT.doc_fingerprint_sql(),
         "dedup_exact": OT.exact_dedup_sql(),
         "dedup_minhash_lsh": OT.minhash_lsh_pairs_sql(),
+        "dedup_keep_list": OT.dedup_keep_list_sql(),
         "dedup_ngram_jaccard": OT.ngram_jaccard_sql(),
         "dedup_simhash": OT.simhash_dup_groups_sql(),
         "ann_brute_force_topk": OT.brute_force_topk_sql(),

@@ -203,3 +203,25 @@ def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable: per document, its canonical
+    keeper and a duplicate flag — what a training-data pipeline actually
+    consumes (keep keeper rows, drop the rest).
+
+    Keeper = min(doc_id) over verified near-dup pairs pointing at the doc
+    (one-hop min suffices for pairwise twins; transitive chains would
+    iterate this join to a fixpoint, same semi-naive loop as the ontology
+    closure). At 10^12 scale both sides aggregate before the
+    documents-sized left join."""
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    keep = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("keeper")
+    )
+    return corpus.join(keep, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("keeper"), F.col("doc_id")).alias("keeper_doc_id"),
+        F.col("keeper").isNotNull().alias("is_duplicate"),
+    )

@@ -297,3 +297,16 @@ SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def dedup_keep_list_sql() -> str:
+    pairs = minhash_lsh_pairs_sql().strip()
+    return f"""
+WITH pairs AS ({pairs}),
+keep AS (SELECT doc_b AS doc_id, min(doc_a) AS keeper FROM pairs GROUP BY doc_b),
+{CORPUS_CTE}
+SELECT c.doc_id,
+  coalesce(k.keeper, c.doc_id) AS keeper_doc_id,
+  (k.keeper IS NOT NULL) AS is_duplicate
+FROM corpus c LEFT JOIN keep k ON c.doc_id = k.doc_id
+"""
