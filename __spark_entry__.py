@@ -189,6 +189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cca_spark.operators import similarity as SIM
     from cca_spark.operators import textstats as TS
 
+    def q_second_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cca_spark.operators.aggregate import second_gen_pattern_facts
+
+        return second_gen_pattern_facts(_routed(spark, sf_dir))
+
     def q_conv_diff_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         from cca_spark.operators.aggregate import conv_diff_stat
         from cca_spark.transcripts import load_transcripts
@@ -199,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     delta_ops = {
         "patch_hunks": DL.patch_hunks,
         "conv_diff_stat": q_conv_diff_stat,
+        "second_gen_pattern_facts": q_second_gen,
         "fragment_sets": DL.fragment_sets,
         "cdc_merge": DL.cdc_merge,
         "group_count_having": DL.group_count_having,
@@ -313,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
     delta_ops = {
         "patch_hunks": OR.patch_hunks_sql(sf),
         "conv_diff_stat": OR.conv_diff_stat_sql(sf),
+        "second_gen_pattern_facts": OR.second_gen_pattern_facts_sql(sf),
         "fragment_sets": OR.fragment_sets_sql(sf),
         "cdc_merge": OR.cdc_merge_sql(),
         "group_count_having": OR.group_count_having_sql(sf),

@@ -159,3 +159,29 @@ def conv_diff_stat(transcripts: DataFrame, routed: DataFrame) -> DataFrame:
                F.floor((F.lit(1.0) - F.col("n_dead").cast("double") / F.col("n_facts").cast("double")) * F.lit(1000000.0)) / F.lit(1000000.0)
         ).alias("identified_rate"),
     )
+
+
+def second_gen_pattern_facts(routed: DataFrame) -> DataFrame:
+    """Second-generation fact stream: per-(conv, rule) pattern instances
+    derived FROM the routed facts and shaped as new facts, mirroring the
+    reference's feedback of chgpat instance triples into the store
+    (/root/reference/python/src/cca/ccautil/find_change_patterns.py:1469-1533).
+
+    The pattern entity key is content-derived (md5 of the grouping key) so
+    the second generation inherits the partitioning-invariance of the
+    first."""
+    return routed.groupBy("conv_id", "rule_id").agg(
+        F.count(F.lit(1)).alias("n_instances"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+        F.max("significance").alias("significance"),
+    ).select(
+        F.md5(F.concat_ws(":", "conv_id", "rule_id")).alias("pattern_entity_id"),
+        F.lit("chgpat").alias("sink"),
+        "conv_id",
+        "rule_id",
+        "n_instances",
+        "first_turn",
+        "last_turn",
+        "significance",
+    )

@@ -295,3 +295,18 @@ SELECT t.conv_id, t.n_turns,
 FROM turns t LEFT JOIN per_sink p ON t.conv_id = p.conv_id
 """,
     )
+
+
+def second_gen_pattern_facts_sql(sf: str) -> str:
+    return oracles.with_routed(
+        sf,
+        """
+SELECT md5(conv_id || ':' || rule_id) AS pattern_entity_id,
+  'chgpat' AS sink, conv_id, rule_id,
+  count(*) AS n_instances,
+  min(turn_idx) AS first_turn,
+  max(turn_idx) AS last_turn,
+  cast(max(significance) AS int) AS significance
+FROM routed GROUP BY conv_id, rule_id
+""",
+    )
