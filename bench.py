@@ -136,6 +136,21 @@ def _run_secondary(bench, spark, sf_dir, transcripts) -> None:
     bench("dedup_minhash_lsh", lambda: DD.minhash_lsh_pairs(spark, sf_dir).count())
     bench("ann_brute_force", lambda: SIM.brute_force_topk(spark, sf_dir).count())
 
+    # production sink path: fan-out write partitioned by (sink, date_bucket)
+    import shutil
+    import tempfile
+
+    from cca_spark.operators.route import write_sinks
+
+    out_dir = tempfile.mkdtemp(prefix="cca_bench_sinks_")
+    try:
+        bench(
+            "sink_fanout_write",
+            lambda: write_sinks(routed_facts(spark, transcripts), out_dir),
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -49,16 +49,31 @@ def salted_repartition(df: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
-def write_sinks(routed: DataFrame, out_dir: str, max_records_per_file: int = 1_000_000) -> None:
+def write_sinks(
+    routed: DataFrame,
+    out_dir: str,
+    max_records_per_file: int = 1_000_000,
+    n_write_salts: int = 8,
+) -> None:
     """Fan-out write: one directory tree partitioned by (sink, date_bucket).
 
     Reference: size-rotated per-category N-Triples shards
     (triple.ml:839-935, fact_size_threshold fact_options.ml:37) —
     ``maxRecordsPerFile`` is the Spark-native size bound. At cluster scale
     this is an Iceberg ``append`` with identical partitioning.
+
+    The write repartitions on the partition columns (+ a deterministic
+    salt bounding per-partition writer parallelism) first: without it every
+    task keeps a writer open per (sink, date) it touches — measured 2.4x
+    slower and 4.4x the file count (14.5s/7682 files vs 5.9s/1742 at 1.3M
+    facts). At 100 TB, size ``n_write_salts`` so salt-partitions hit the
+    Iceberg target file size.
     """
     (
-        routed.write.mode("overwrite")
+        routed.withColumn("_w", F.pmod(F.xxhash64("entity_id"), F.lit(n_write_salts)))
+        .repartition(F.col("sink"), F.col("date_bucket"), F.col("_w"))
+        .drop("_w")
+        .write.mode("overwrite")
         .option("maxRecordsPerFile", str(max_records_per_file))
         .partitionBy("sink", "date_bucket")
         .parquet(out_dir)
