@@ -189,6 +189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cca_spark.operators import similarity as SIM
     from cca_spark.operators import textstats as TS
 
+    def q_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cca_spark.operators.route import skew_salt_plan
+        from cca_spark.transcripts import load_transcripts
+
+        return skew_salt_plan(load_transcripts(spark, sf_dir))
+
     def q_second_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         from cca_spark.operators.aggregate import second_gen_pattern_facts
 
@@ -205,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_hunks": DL.patch_hunks,
         "conv_diff_stat": q_conv_diff_stat,
         "second_gen_pattern_facts": q_second_gen,
+        "skew_salt_plan": q_salt_plan,
         "fragment_sets": DL.fragment_sets,
         "cdc_merge": DL.cdc_merge,
         "group_count_having": DL.group_count_having,
@@ -320,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "patch_hunks": OR.patch_hunks_sql(sf),
         "conv_diff_stat": OR.conv_diff_stat_sql(sf),
         "second_gen_pattern_facts": OR.second_gen_pattern_facts_sql(sf),
+        "skew_salt_plan": OR.skew_salt_plan_sql(sf),
         "fragment_sets": OR.fragment_sets_sql(sf),
         "cdc_merge": OR.cdc_merge_sql(),
         "group_count_having": OR.group_count_having_sql(sf),

@@ -78,3 +78,28 @@ def write_sinks(
         .partitionBy("sink", "date_bucket")
         .parquet(out_dir)
     )
+
+
+def skew_salt_plan(
+    transcripts: DataFrame, target_rows_per_task: int = 500
+) -> DataFrame:
+    """The salting *policy*: per-conversation salt counts derived from
+    row counts (SURVEY §7.2 M3 — the reference special-cases "huge nodes"
+    the same way, diffast.ml:294-305).
+
+    ``n_salts = ceil(n_turns / target_rows_per_task)`` — normal
+    conversations get 1 (stay co-located, no shuffle blow-up); hot ones
+    are split into bounded tasks. One groupBy over the fact stream; the
+    plan itself is conversations-sized and broadcastable back into
+    ``salted_repartition``."""
+    per = transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return per.select(
+        "conv_id",
+        "n_turns",
+        F.greatest(
+            F.lit(1),
+            (F.floor((F.col("n_turns") - 1) / F.lit(target_rows_per_task)) + 1),
+        )
+        .cast("int")
+        .alias("n_salts"),
+    )

@@ -310,3 +310,14 @@ SELECT md5(conv_id || ':' || rule_id) AS pattern_entity_id,
 FROM routed GROUP BY conv_id, rule_id
 """,
     )
+
+
+def skew_salt_plan_sql(sf: str, target: int = 500) -> str:
+    return oracles.with_transcripts(
+        sf,
+        f"""
+SELECT conv_id, count(*) AS n_turns,
+  cast(greatest(1, floor((count(*) - 1) / {target}.0) + 1) AS int) AS n_salts
+FROM t GROUP BY conv_id
+""",
+    )
