@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": TS.lang_id,
         "quality_score": TS.quality_score,
         "token_count": TS.token_count,
+        "length_histogram": TS.length_histogram,
         "doc_fingerprint": TS.doc_fingerprint,
         "dedup_exact": DD.exact_dedup,
         "dedup_minhash_lsh": DD.minhash_lsh_pairs,
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_heuristic": OT.lang_id_sql(),
         "quality_score": OT.quality_score_sql(),
         "token_count": OT.token_count_sql(),
+        "length_histogram": OT.length_histogram_sql(),
         "doc_fingerprint": OT.doc_fingerprint_sql(),
         "dedup_exact": OT.exact_dedup_sql(),
         "dedup_minhash_lsh": OT.minhash_lsh_pairs_sql(),

@@ -104,3 +104,27 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, shingle_k: int = 3) -> Dat
         F.min(F.md5("shingle")).alias("fingerprint"),
         F.countDistinct("shingle").alias("n_shingles"),
     )
+
+
+def length_histogram(spark: SparkSession, sf_dir: str, bucket_width: int = 20) -> DataFrame:
+    """Histogram binning: token-count distribution over documents in
+    fixed-width buckets — the corpus-profiling aggregate a training-data
+    pipeline runs before filtering (pairs with quality_score thresholds).
+
+    One scan, one narrow groupBy; bucket key is integer arithmetic
+    (floor(n_tokens / width)), so the shuffle key is dense and tiny."""
+    docs = _read_docs(spark, sf_dir)
+    toks = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    return (
+        toks.select((F.floor(F.col("n_tokens") / bucket_width)).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * bucket_width).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * bucket_width - 1).alias("bucket_hi"),
+            "n_docs",
+        )
+    )

@@ -310,3 +310,16 @@ SELECT c.doc_id,
   (k.keeper IS NOT NULL) AS is_duplicate
 FROM corpus c LEFT JOIN keep k ON c.doc_id = k.doc_id
 """
+
+
+def length_histogram_sql(bucket_width: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+b AS (SELECT cast(floor(n_tokens / {bucket_width}.0) AS int) AS bucket FROM toks)
+SELECT bucket,
+  cast(bucket * {bucket_width} AS bigint) AS bucket_lo,
+  cast((bucket + 1) * {bucket_width} - 1 AS bigint) AS bucket_hi,
+  count(*) AS n_docs
+FROM b GROUP BY bucket
+"""
