@@ -164,7 +164,22 @@ def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cca_spark.streaming.pipeline import run_stream_to_memory
     from cca_spark.transcripts import load_transcripts
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # cache tag is keyed on the INPUT CONTENT (mtime+size of the events
+    # parquet), not just the path — a regenerated parquet at the same path
+    # must invalidate the staged stream source, never silently reuse it
+    def _content_sig(path: str) -> str:
+        sigs = []
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                sigs.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+        else:
+            st = os.stat(path)
+            sigs.append(f"{st.st_mtime_ns}:{st.st_size}")
+        return ";".join(sigs)
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(f"{sf_dir}|{_content_sig(events_path)}".encode()).hexdigest()[:12]
     input_dir = f"/tmp/cca_stream_src_{tag}"
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         load_transcripts(spark, sf_dir).repartition(8).write.mode(

@@ -138,11 +138,14 @@ def conv_diff_stat(transcripts: DataFrame, routed: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("sink") == "tool_invocation", 1).otherwise(0)).alias("n_tool"),
         F.sum(F.when(F.col("sink") == "code_span", 1).otherwise(0)).alias("n_code"),
         F.sum(F.when(F.col("sink") == "error_signature", 1).otherwise(0)).alias("n_err"),
+        F.sum(F.when(F.col("sink") == "exec_audit", 1).otherwise(0)).alias("n_exec"),
+        F.sum(F.when(F.col("sink") == "user_signal", 1).otherwise(0)).alias("n_signal"),
+        F.sum(F.when(F.col("sink") == "session_meta", 1).otherwise(0)).alias("n_meta"),
         F.sum(F.when(F.col("sink") == "dead_letter", 1).otherwise(0)).alias("n_dead"),
     )
     f6 = lambda c: (F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)).alias  # noqa: E731
     out = turns.join(per_sink, "conv_id", "left").na.fill(
-        0, ["n_facts", "n_tool", "n_code", "n_err", "n_dead"]
+        0, ["n_facts", "n_tool", "n_code", "n_err", "n_exec", "n_signal", "n_meta", "n_dead"]
     )
     return out.select(
         "conv_id",
@@ -151,6 +154,9 @@ def conv_diff_stat(transcripts: DataFrame, routed: DataFrame) -> DataFrame:
         "n_tool",
         "n_code",
         "n_err",
+        "n_exec",
+        "n_signal",
+        "n_meta",
         "n_dead",
         f6(F.col("n_facts").cast("double") / F.col("n_turns").cast("double"))(
             "facts_per_turn"

@@ -153,13 +153,21 @@ def pivot_role_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for 100 TB dashboards: HLL distinct +
     approximate percentiles (no exact-SQL oracle; sanity-tested in pytest
-    against exact values)."""
+    against exact values).
+
+    Percentiles are emitted as three scalar double columns (not an array)
+    so result rows stay hashable by any canonicalizer."""
     from cca_spark.transcripts import load_transcripts
 
     t = load_transcripts(spark, sf_dir)
+    pct = lambda p: F.percentile_approx(  # noqa: E731
+        F.length("text"), p, 10000
+    ).cast("double")
     return t.groupBy("role").agg(
         F.approx_count_distinct("conv_id").alias("approx_convs"),
-        F.percentile_approx(F.length("text"), [0.5, 0.95, 0.99], 10000).alias("len_pcts"),
+        pct(0.5).alias("len_p50"),
+        pct(0.95).alias("len_p95"),
+        pct(0.99).alias("len_p99"),
         F.count("*").alias("n_turns"),
     )
 

@@ -93,7 +93,13 @@ def frame_sample(spark: SparkSession, sf_dir: str, stride: int = 64) -> DataFram
     window digest — the explode shape a video pipeline uses (sample every
     Nth frame, fingerprint it). JVM-side explode + substring, no UDF."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    with_len = docs.withColumn("blen", F.length("text").cast("int"))
+    # blen > 0 filter: for empty text, Spark's sequence(0, -1) yields a
+    # DESCENDING [0, -1] (two rows) while the oracle's generate_series(0, -1)
+    # yields none — clamp by excluding empty payloads in both engines
+    # (the oracle's unnest(empty list) drops the row on its own).
+    with_len = docs.withColumn("blen", F.length("text").cast("int")).filter(
+        F.col("blen") > 0
+    )
     frames = with_len.select(
         "doc_id",
         "text",

@@ -211,14 +211,20 @@ def union_alternative_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def except_unclassified_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3: remove classified rows from the pool — coverage of unclassified
-    turns (reference: edits not classified, edit.ml:97-103;
-    remove_from_prim_chg_tbl find_change_patterns.py:2097-2127)."""
+    """U3: remove classified rows from the pool — coverage of turns with no
+    *substantive* classification (reference: edits not classified,
+    edit.ml:97-103; remove_from_prim_chg_tbl
+    find_change_patterns.py:2097-2127; the reference likewise excludes
+    low-significance Slow rules from "used", change_base.ml:951-956).
+
+    With the full 25-rule bank every turn matches at least a metadata rule,
+    so "unclassified" = no fact of significance >= 2 — the anti join keys
+    on the (conv_id, turn_idx) prefilter of significant facts."""
     from cca_spark.plans.pipeline import routed_facts
     from cca_spark.transcripts import load_transcripts
 
     t = load_transcripts(spark, sf_dir)
-    facts = routed_facts(spark, t)
+    facts = routed_facts(spark, t).filter(F.col("significance") >= 2)
     return (
         t.join(facts, ["conv_id", "turn_idx"], "left_anti")
         .groupBy("role")

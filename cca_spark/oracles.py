@@ -37,6 +37,9 @@ def facts_sql_body() -> str:
     for r in RULES:
         pat = r.pattern.replace("'", "''")
         full = f"regexp_extract(text, '{pat}', 0)"
+        # per-tool sub-bank scope (rules.py Rule.tool_scope): identical
+        # predicate in the pandas kernel, the Spark SQL strategy, and here
+        scope = f" AND tool = '{r.tool_scope}'" if r.tool_scope else ""
         parts.append(
             f"""
   SELECT
@@ -51,7 +54,7 @@ def facts_sql_body() -> str:
     cast(strpos(text, {full}) - 1 AS int) AS span_start,
     cast(strpos(text, {full}) - 1 + length({full}) AS int) AS span_end,
     regexp_extract(text, '{pat}', 1) AS value
-  FROM t WHERE regexp_matches(text, '{pat}')"""
+  FROM t WHERE regexp_matches(text, '{pat}'){scope}"""
         )
     return "\n  UNION ALL\n".join(parts)
 

@@ -127,7 +127,8 @@ SELECT role, count(*) AS n_unclassified_turns
 FROM t
 WHERE NOT EXISTS (
   SELECT 1 FROM facts f
-  WHERE f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx)
+  WHERE f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+    AND f.significance >= 2)
 GROUP BY role
 """,
     )
@@ -246,7 +247,9 @@ GROUP BY conv_id HAVING count(*) >= {min_extra}
 
 
 def pivot_role_sink_sql(sf: str) -> str:
-    sinks = ["tool_invocation", "code_span", "error_signature", "dead_letter"]
+    from cca_spark.rules import DEAD_LETTER_SINK, SINKS
+
+    sinks = SINKS + [DEAD_LETTER_SINK]
     cases = ",\n  ".join(
         f"cast(sum(CASE WHEN sink = '{s}' THEN 1 ELSE 0 END) AS bigint) AS {s}" for s in sinks
     )
@@ -280,6 +283,9 @@ per_sink AS (
     sum(CASE WHEN sink = 'tool_invocation' THEN 1 ELSE 0 END) AS n_tool,
     sum(CASE WHEN sink = 'code_span' THEN 1 ELSE 0 END) AS n_code,
     sum(CASE WHEN sink = 'error_signature' THEN 1 ELSE 0 END) AS n_err,
+    sum(CASE WHEN sink = 'exec_audit' THEN 1 ELSE 0 END) AS n_exec,
+    sum(CASE WHEN sink = 'user_signal' THEN 1 ELSE 0 END) AS n_signal,
+    sum(CASE WHEN sink = 'session_meta' THEN 1 ELSE 0 END) AS n_meta,
     sum(CASE WHEN sink = 'dead_letter' THEN 1 ELSE 0 END) AS n_dead
   FROM routed GROUP BY conv_id)
 SELECT t.conv_id, t.n_turns,
@@ -287,6 +293,9 @@ SELECT t.conv_id, t.n_turns,
   cast(coalesce(p.n_tool, 0) AS bigint) AS n_tool,
   cast(coalesce(p.n_code, 0) AS bigint) AS n_code,
   cast(coalesce(p.n_err, 0) AS bigint) AS n_err,
+  cast(coalesce(p.n_exec, 0) AS bigint) AS n_exec,
+  cast(coalesce(p.n_signal, 0) AS bigint) AS n_signal,
+  cast(coalesce(p.n_meta, 0) AS bigint) AS n_meta,
   cast(coalesce(p.n_dead, 0) AS bigint) AS n_dead,
   floor(cast(coalesce(p.n_facts, 0) AS double) / cast(t.n_turns AS double) * 1000000.0) / 1000000.0 AS facts_per_turn,
   CASE WHEN coalesce(p.n_facts, 0) > 0 THEN

@@ -43,10 +43,10 @@ def test_approx_stats_sanity(spark, sf_dir):
         .collect()
     }
     for role, n_exact in exact.items():
-        n_approx = approx[role]["approx_convs"]
-        assert abs(n_approx - n_exact) / n_exact < 0.1
-        pcts = approx[role]["len_pcts"]
-        assert len(pcts) == 3 and pcts[0] <= pcts[1] <= pcts[2]
+        row = approx[role]
+        assert abs(row["approx_convs"] - n_exact) / n_exact < 0.1
+        # scalar percentile columns (canonicalizer-safe), monotone by level
+        assert row["len_p50"] <= row["len_p95"] <= row["len_p99"]
 
 
 def test_cdc_merge_semantics(spark, sf_dir):

@@ -14,21 +14,31 @@ import re
 from cca_spark.rules import RULES
 
 SAMPLE_TEXTS = [
-    # tool turn, error path (template: transcripts.py)
-    'TOOL_CALL: name=bash args={"q": 3}\n'
+    # tool turn, error path (template: transcripts.py), with turn header
+    'turn 12 [tool]: TOOL_CALL: name=bash args={"q": 3}\n'
     "Traceback (most recent call last):\n"
     '  File "main.py", line 5, in run\n'
     "ValueError: bad value 2",
     # tool turn, ok path
-    'TOOL_CALL: name=write_file args={"path": "f_3.txt"}\nOK rows=7',
+    'turn 3 [tool]: TOOL_CALL: name=write_file args={"path": "f_3.txt"}\nOK rows=7',
+    'turn 44 [tool]: TOOL_CALL: name=search args={"path": "f_9.txt"}\nOK rows=1',
+    'turn 5 [tool]: TOOL_CALL: name=grep args={"q": 88}\n'
+    "Traceback (most recent call last):\n"
+    '  File "main.py", line 9, in run\n'
+    "ValueError: bad value 1",
     # assistant turn with code fence and ERROR line
-    "Here is a fix:\n```python\nx = 1\nprint(x)\n```\nDone.\nERROR 502: upstream timeout",
+    "turn 10 [assistant]: Here is a fix:\n```python\nx = 1\nprint(x)\n```\nDone.\n"
+    "ERROR 502: upstream timeout",
+    # user / system turns
+    "turn 0 [user]: please check item 123 and report",
+    "turn 101 [system]: session start for user 42",
     # multiple fences / multiple errors in one text
     "```py\na\n```\nmid\n```sql\nSELECT 1\n```\nERROR 1: a\nERROR 2: b",
     # near-misses that must NOT match
     "TOOLCALL: name=x args={}",
     "ERROR : no code",
     "`` not a fence ``",
+    "turn 7 [user]: single digit turn header must not match deep-turn rule",
     "",
 ]
 
