@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TWIN_SUFFIX = " near duplicate twin suffix"
+TWIN_SUFFIX2 = " second generation twin"
 N_MINHASHES = 8
 N_BANDS = 4  # rows per band = N_MINHASHES // N_BANDS = 2
 SHINGLE_K = 3
@@ -47,6 +48,20 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.unionByName(twins)
+
+
+def chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_corpus ∪ second-generation twins: every 6th doc also gets a
+    twin-of-its-twin (A ~ B ~ C chains), so transitive-closure dedup has
+    real multi-hop components to collapse (reference: clone/origin chains
+    followed across versions, fragment.py:29-103)."""
+    base = dedup_corpus(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    second = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(TWIN_SUFFIX), F.lit(TWIN_SUFFIX2)).alias("text"),
+    )
+    return base.unionByName(second)
 
 
 def corpus_shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
@@ -99,7 +114,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bands of 2 hashes; candidates = docs sharing any band key; verify
     joins candidate pairs back to shingle sets and computes true Jaccard.
     Only candidates pay the verify cost (LSH prunes the N² space)."""
-    corpus = dedup_corpus(spark, sf_dir)
+    return lsh_verified_pairs(dedup_corpus(spark, sf_dir))
+
+
+def lsh_verified_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The LSH pipeline over an arbitrary (doc_id, text) corpus."""
     sigs = minhash_signatures(corpus)
     rows_per_band = N_MINHASHES // N_BANDS
     band_cols = []
@@ -123,7 +142,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     jac = ngram_jaccard(corpus, cands)
-    return jac.filter(F.col("jaccard") >= 0.5)
+    return jac.filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -196,12 +215,109 @@ def simhash_signatures(spark: SparkSession, sf_dir: str, n_bits: int = 16) -> Da
 
 
 def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs clustered by identical simhash (candidate duplicate groups)."""
+    """Docs clustered by identical (16-bit) simhash — the coarse grouping
+    histogram. The scale path for NEAR-duplicates is
+    ``simhash64_near_dup_pairs`` below (64-bit, banded Hamming join)."""
     sigs = simhash_signatures(spark, sf_dir)
     return (
         sigs.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+# 64-bit simhash: bit j of a token = bit (3 - j%4) of hex digit j//4 of
+# md5(token). Digit sets shared verbatim with the DuckDB oracle.
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4  # 4 x 16-bit bands; Hamming <= 3 guarantees a band hit
+SIMHASH64_MAX_HAMMING = 6
+_HEX_BIT_DIGITS = [
+    list("89abcdef"),  # bit value 8
+    list("4567cdef"),  # bit value 4
+    list("2367abef"),  # bit value 2
+    list("13579bdf"),  # bit value 1
+]
+
+
+def simhash64_signatures(corpus: DataFrame) -> DataFrame:
+    """64-bit majority-vote simhash over whitespace tokens (classic
+    Charikar construction; the reference's digest prematch generalized to
+    near-match). Relational: explode -> 64 signed sums -> bit string."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", j // 4 + 1, 1).isin(*_HEX_BIT_DIGITS[j % 4]), 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH64_BITS)
+        ]
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH64_BITS)
+        ]
+    )
+    return votes.select("doc_id", bits.alias("simhash64"))
+
+
+def hamming_expr_sql(a: str, b: str, n_bits: int = SIMHASH64_BITS) -> str:
+    """Per-position bit-string Hamming distance as portable SQL text
+    (identical in Spark SQL and DuckDB; generated, never hand-kept)."""
+    terms = " + ".join(
+        f"(CASE WHEN substr({a}, {i + 1}, 1) <> substr({b}, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"({terms})"
+
+
+def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at scale: 64-bit signatures banded into
+    4 x 16-bit chunks; candidates share any band (pigeonhole: Hamming <= 3
+    is guaranteed a hit, higher distances probabilistically); survivors
+    verified with exact Hamming <= MAX. Replaces round 1's
+    identical-16-bit-signature clustering, which collides at 10^9+ docs
+    and finds no near matches (VERDICT r01)."""
+    sigs = simhash64_signatures(dedup_corpus(spark, sf_dir))
+    band_width = SIMHASH64_BITS // SIMHASH64_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.substring("simhash64", b * band_width + 1, band_width).alias("band_key"),
+            )
+            for b in range(SIMHASH64_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", "simhash64", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash64", "b.band_idx", "b.band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash64").alias("sig_a"),
+            F.col("b.simhash64").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr(hamming_expr_sql("sig_a", "sig_b")).cast("int")
+    return (
+        cands.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH64_MAX_HAMMING)
     )
 
 
@@ -224,4 +340,74 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("keeper"), F.col("doc_id")).alias("keeper_doc_id"),
         F.col("keeper").isNotNull().alias("is_duplicate"),
+    )
+
+
+def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a pair graph by min-label propagation:
+    ``(doc_id, label)`` where label = min doc_id reachable in the
+    component. Semi-naive driver-side fixpoint (same loop discipline as
+    ``ontology.ontology_closure_df``); converges in O(component diameter)
+    iterations — near-dup components are shallow chains, so 2-3 rounds in
+    practice, bounded at ``max_iters``.
+
+    At 10^12 scale each iteration is one shuffle keyed by doc_id over the
+    PAIR graph (orders of magnitude smaller than the corpus); the label
+    table is checkpointed per round so the plan never grows."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup keep-list: keeper = connected-component min over
+    verified LSH near-dup pairs, so A~B~C chains collapse to ONE keeper
+    (the one-hop ``dedup_keep_list`` leaves B as C's keeper while B itself
+    is dropped as A's dup). Runs on the chain corpus, which has real
+    multi-hop components by construction.
+
+    Reference: clone/origin tracking follows chains across versions
+    (python/src/cca/ccautil/fragment.py:29-103)."""
+    corpus = chain_corpus(spark, sf_dir)
+    pairs = lsh_verified_pairs(corpus)
+    labels = connected_min_labels(pairs)
+    return corpus.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("keeper_doc_id"),
+        (F.col("label").isNotNull() & (F.col("label") != F.col("doc_id"))).alias(
+            "is_duplicate"
+        ),
     )

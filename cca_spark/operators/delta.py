@@ -76,6 +76,62 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_merge_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3: REVERSIBLE delta — apply the changelog forward, then apply
+    its inverse, and return the recovered snapshot (must equal the
+    original table bit-for-bit; the oracle is the plain original, which
+    never saw the delta).
+
+    Reference: the XML delta is reversible — ``delta_interpret.ml``
+    applies it in either direction and ``patchast.ml:36-70`` drives
+    apply/revert. The relational analog: the changelog records PRE-images
+    alongside post-images (deletes carry the deleted row, updates carry
+    both values), so reverse application re-inserts deletes, restores
+    update pre-images verbatim (no arithmetic un-doing, hence no float
+    drift), and drops inserts. Both passes are anti-join + union plans —
+    the same shape an Iceberg MERGE produces, run twice."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    # the changelog, with pre-images recorded at derivation time
+    del_pre = cust.filter(k % 10 == 0)  # full deleted rows (pre-image)
+    upd = cust.filter((k % 10).isin(1, 2)).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("pre_acctbal"),
+        (F.col("c_acctbal") + 100).alias("post_acctbal"),
+    )
+    ins = cust.filter(k % 10 == 3).select(
+        (k + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), "c_name").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+
+    # forward apply: drop D∪U targets, add U post-images and I rows
+    touched = del_pre.select("c_custkey").unionByName(upd.select("c_custkey"))
+    merged = (
+        cust.join(touched, "c_custkey", "left_anti")
+        .unionByName(
+            upd.select("c_custkey", "c_name", F.col("post_acctbal").alias("c_acctbal"))
+        )
+        .unionByName(ins)
+    )
+
+    # reverse apply: drop I∪U targets, restore U pre-images and D rows
+    untouched_rev = ins.select("c_custkey").unionByName(upd.select("c_custkey"))
+    recovered = (
+        merged.join(untouched_rev, "c_custkey", "left_anti")
+        .unionByName(
+            upd.select("c_custkey", "c_name", F.col("pre_acctbal").alias("c_acctbal"))
+        )
+        .unionByName(del_pre)
+    )
+    return recovered.select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal"), 2).alias("c_acctbal")
+    )
+
+
 LCS_SCHEMA = "doc_a long, doc_b long, lcs_len int, sim_ratio double"
 
 

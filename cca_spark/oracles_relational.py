@@ -321,6 +321,58 @@ FROM routed GROUP BY conv_id, rule_id
     )
 
 
+def snapshot_mapping_sql() -> str:
+    """Mirror of operators/mapping.py: same v1/v2 derivation, same
+    path-join + digest-rank-join + anti-join classification."""
+    return """
+WITH v1 AS (
+  SELECT doc_id,
+    'dir' || cast(doc_id % 10 AS varchar) || '/f_' || cast(doc_id AS varchar) || '.txt' AS path,
+    md5(text) AS digest
+  FROM documents),
+v2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+           THEN 'dir' || cast(doc_id % 10 AS varchar) || '/g_' || cast(doc_id AS varchar) || '.txt'
+         WHEN doc_id % 5 = 0
+           THEN 'dir' || cast((doc_id + 1) % 10 AS varchar) || '/f_' || cast(doc_id AS varchar) || '.txt'
+         ELSE 'dir' || cast(doc_id % 10 AS varchar) || '/f_' || cast(doc_id AS varchar) || '.txt'
+    END AS path,
+    CASE WHEN doc_id % 3 = 0 AND doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         THEN md5(text || ' v2') ELSE md5(text) END AS digest
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 500000,
+    'incoming/h_' || cast(doc_id AS varchar) || '.txt',
+    md5(text || ' added')
+  FROM documents WHERE doc_id % 13 = 0),
+same_path AS (
+  SELECT a.path AS old_path, b.path AS new_path,
+    CASE WHEN a.digest = b.digest THEN 'mapped_eq' ELSE 'mapped_neq' END AS mapping
+  FROM v1 a JOIN v2 b ON a.path = b.path),
+l1 AS (
+  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+  FROM v1 WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.path = v1.path)),
+l2 AS (
+  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+  FROM v2 WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.path = v2.path)),
+dig AS (
+  SELECT a.path AS old_path, b.path AS new_path,
+    CASE WHEN split_part(a.path, '/', 1) = split_part(b.path, '/', 1)
+         THEN 'renamed' ELSE 'moved' END AS mapping
+  FROM l1 a JOIN l2 b ON a.digest = b.digest AND a.rn = b.rn)
+SELECT old_path, new_path, mapping FROM same_path
+UNION ALL
+SELECT old_path, new_path, mapping FROM dig
+UNION ALL
+SELECT path AS old_path, cast(NULL AS varchar) AS new_path, 'deleted' AS mapping
+FROM l1 WHERE NOT EXISTS (SELECT 1 FROM l2 WHERE l2.digest = l1.digest AND l2.rn = l1.rn)
+UNION ALL
+SELECT cast(NULL AS varchar) AS old_path, path AS new_path, 'added' AS mapping
+FROM l2 WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.digest = l2.digest AND l1.rn = l2.rn)
+"""
+
+
 def skew_salt_plan_sql(sf: str, target: int = 500) -> str:
     return oracles.with_transcripts(
         sf,

@@ -4,8 +4,14 @@ views (documents, embeddings)."""
 
 from __future__ import annotations
 
-from cca_spark.operators.dedup import N_BANDS, N_MINHASHES, SHINGLE_K, TWIN_SUFFIX
-from cca_spark.operators.similarity import LSH_DIMS
+from cca_spark.operators.dedup import (
+    N_BANDS,
+    N_MINHASHES,
+    SHINGLE_K,
+    TWIN_SUFFIX,
+    TWIN_SUFFIX2,
+)
+from cca_spark.operators.similarity import LSH_TABLE_DIMS
 from cca_spark.operators.textstats import EN_STOPWORDS, TOKEN_RE
 
 STOPWORD_RE = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
@@ -15,6 +21,17 @@ CORPUS_CTE = f"""corpus AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text || '{TWIN_SUFFIX}' AS text
   FROM documents WHERE doc_id % 3 = 0
+)"""
+
+# corpus ∪ second-generation twins (A ~ B ~ C chains) — dedup.chain_corpus
+CHAIN_CORPUS_CTE = f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '{TWIN_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || '{TWIN_SUFFIX}{TWIN_SUFFIX2}' AS text
+  FROM documents WHERE doc_id % 6 = 0
 )"""
 
 # k-token shingles: 1-based inclusive list slicing toks[i : i+k-1]
@@ -127,9 +144,9 @@ JOIN sizes nb ON nb.doc_id = i.doc_b
 """
 
 
-def minhash_lsh_pairs_sql() -> str:
+def minhash_lsh_pairs_sql(corpus_cte: str = CORPUS_CTE, threshold: float = 0.5) -> str:
     return f"""
-WITH {CORPUS_CTE},
+WITH {corpus_cte},
 {SHINGLES_CTE},
 {SHINGLES_NONEMPTY},
 {_sig_cte()},
@@ -139,7 +156,7 @@ cands AS (
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 {JACCARD_TAIL.strip().rstrip()}
-WHERE round(i.n_inter / cast(na.n_sh + nb.n_sh - i.n_inter AS double), 6) >= 0.5
+WHERE round(i.n_inter / cast(na.n_sh + nb.n_sh - i.n_inter AS double), 6) >= {threshold}
 """
 
 
@@ -212,21 +229,37 @@ SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
 """
 
 
-def _bucket_sql(col: str) -> str:
+def _table_bucket_sql(col: str, dims: list[int]) -> str:
     return " || ".join(
         f"(CASE WHEN cast({col}[{d + 1}] AS double) > 0 THEN '1' ELSE '0' END)"
-        for d in LSH_DIMS
+        for d in dims
     )
+
+
+def _banded_cte(name: str, src: str = "embeddings", where: str = "") -> str:
+    """(vec_id, t, bucket) long form, one SELECT per LSH table."""
+    parts = [
+        f"SELECT vec_id, {t} AS t, {_table_bucket_sql('embedding', dims)} AS bucket "
+        f"FROM {src}{where}"
+        for t, dims in enumerate(LSH_TABLE_DIMS)
+    ]
+    body = "\n  UNION ALL\n  ".join(parts)
+    return f"{name} AS (\n  {body}\n)"
 
 
 def lsh_bucketed_ann_sql(k: int = 3, n_queries: int = 20) -> str:
     return f"""
-WITH emb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+WITH {_banded_cte('cb')},
+qb AS (SELECT * FROM cb WHERE vec_id < {n_queries}),
+cands AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM qb q JOIN cb c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
 scored AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-    {_cosine('q.embedding', 'c.embedding')} AS cosine
-  FROM emb q JOIN emb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {n_queries}
+  SELECT cd.q_id, cd.c_id, {_cosine('qe.embedding', 'ce.embedding')} AS cosine
+  FROM cands cd
+  JOIN embeddings qe ON qe.vec_id = cd.q_id
+  JOIN embeddings ce ON ce.vec_id = cd.c_id
 )
 SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
@@ -237,11 +270,29 @@ SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
 
 def embedding_near_dup_sql(threshold: float) -> str:
     return f"""
-WITH emb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings)
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-  {_cosine('a.embedding', 'b.embedding')} AS cosine
-FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cosine('a.embedding', 'b.embedding')} >= {threshold}
+WITH {_banded_cte('banded')},
+cands AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT cd.doc_a, cd.doc_b,
+  {_cosine('ea.embedding', 'eb.embedding')} AS cosine
+FROM cands cd
+JOIN embeddings ea ON ea.vec_id = cd.doc_a
+JOIN embeddings eb ON eb.vec_id = cd.doc_b
+WHERE {_cosine('ea.embedding', 'eb.embedding')} >= {threshold}
+"""
+
+
+def lsh_bucket_histogram_sql() -> str:
+    return f"""
+WITH {_banded_cte('banded')},
+sizes AS (
+  SELECT t, bucket, count(*) AS bucket_size FROM banded GROUP BY t, bucket
+)
+SELECT t AS table_idx, bucket_size, count(*) AS n_buckets
+FROM sizes GROUP BY t, bucket_size
 """
 
 
@@ -269,7 +320,7 @@ FROM (
 """
 
 
-def ivf_ann_sql(k: int = 3, n_queries: int = 20) -> str:
+def ivf_ann_sql(k: int = 3, n_queries: int = 20, nprobe: int = 1) -> str:
     from cca_spark.operators.similarity import IVF_CENTROID_STRIDE, N_IVF_CENTROIDS
 
     top = N_IVF_CENTROIDS * IVF_CENTROID_STRIDE
@@ -277,20 +328,22 @@ def ivf_ann_sql(k: int = 3, n_queries: int = 20) -> str:
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
   WHERE vec_id % {IVF_CENTROID_STRIDE} = 0 AND vec_id < {top}),
+ranks AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cosine('e.embedding', 'c.cent_emb')} DESC, c.centroid_id ASC
+    ) AS r
+  FROM embeddings e CROSS JOIN cents c),
 assigned AS (
-  SELECT vec_id, embedding, centroid_id AS cell FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-      row_number() OVER (
-        PARTITION BY e.vec_id
-        ORDER BY {_cosine('e.embedding', 'c.cent_emb')} DESC, c.centroid_id ASC
-      ) AS r
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE r = 1),
+  SELECT vec_id, embedding, centroid_id AS cell FROM ranks WHERE r = 1),
+qprobe AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM ranks
+  WHERE r <= {nprobe} AND vec_id < {n_queries}),
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
     {_cosine('q.embedding', 'c.embedding')} AS cosine
-  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {n_queries}
+  FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
 )
 SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
@@ -309,6 +362,84 @@ SELECT c.doc_id,
   coalesce(k.keeper, c.doc_id) AS keeper_doc_id,
   (k.keeper IS NOT NULL) AS is_duplicate
 FROM corpus c LEFT JOIN keep k ON c.doc_id = k.doc_id
+"""
+
+
+def simhash64_near_dup_pairs_sql() -> str:
+    from cca_spark.operators.dedup import (
+        _HEX_BIT_DIGITS,
+        SIMHASH64_BANDS,
+        SIMHASH64_BITS,
+        SIMHASH64_MAX_HAMMING,
+        hamming_expr_sql,
+    )
+
+    votes = ",\n    ".join(
+        (
+            f"sum(CASE WHEN substr(h, {j // 4 + 1}, 1) IN "
+            f"({', '.join(repr(c) for c in _HEX_BIT_DIGITS[j % 4])}) "
+            f"THEN 1 ELSE -1 END) AS v{j}"
+        )
+        for j in range(SIMHASH64_BITS)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(SIMHASH64_BITS)
+    )
+    bw = SIMHASH64_BITS // SIMHASH64_BANDS
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash64, {b} AS band_idx, "
+        f"substr(simhash64, {b * bw + 1}, {bw}) AS band_key FROM sigs"
+        for b in range(SIMHASH64_BANDS)
+    )
+    ham = hamming_expr_sql("sig_a", "sig_b")
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM corpus
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {bits} AS simhash64 FROM votes),
+banded AS (
+  {bands}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash64 AS sig_a, b.simhash64 AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cast({ham} AS int) AS hamming
+FROM cands WHERE {ham} <= {SIMHASH64_MAX_HAMMING}
+"""
+
+
+def dedup_keep_list_transitive_sql() -> str:
+    """Connected-component keeper via recursive reachability closure over
+    the symmetric near-dup pair graph — the exact-SQL oracle for Spark's
+    min-label-propagation fixpoint."""
+    pairs = minhash_lsh_pairs_sql(CHAIN_CORPUS_CTE).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT re.doc_id, sym.d FROM reach re JOIN sym ON sym.s = re.r
+),
+labels AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY doc_id),
+{CHAIN_CORPUS_CTE}
+SELECT c.doc_id,
+  coalesce(l.label, c.doc_id) AS keeper_doc_id,
+  (l.label IS NOT NULL AND l.label <> c.doc_id) AS is_duplicate
+FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
 """
 
 

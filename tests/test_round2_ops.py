@@ -1,0 +1,96 @@
+"""Round-2 operator semantics: transitive dedup chains, IVF nprobe recall,
+simhash64 twin recall, snapshot-mapping class coverage. (Oracle equality for
+each is covered by the parametrized test_pipeline_oracle battery.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_connected_min_labels_collapses_chains(spark):
+    """A~B~C must collapse to ONE keeper (A) — the failure mode of the
+    one-hop keeper was B staying C's keeper while B itself is dropped."""
+    from cca_spark.operators.dedup import connected_min_labels
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["label"] for r in connected_min_labels(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_transitive_keep_list_has_single_keeper_per_chain(spark, sf_dir):
+    from cca_spark.operators.dedup import dedup_keep_list_transitive
+
+    rows = dedup_keep_list_transitive(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # chain members A(=a), B(=a+1M), C(=a+2M) share one keeper, and that
+    # keeper is itself kept (keeper_of_keeper == keeper)
+    chains = 0
+    for a in range(0, 60, 6):
+        if a + 2_000_000 not in by_id:
+            continue
+        keepers = {by_id[x]["keeper_doc_id"] for x in (a, a + 1_000_000, a + 2_000_000)}
+        assert len(keepers) == 1, f"chain {a} split across keepers {keepers}"
+        k = keepers.pop()
+        assert by_id[k]["keeper_doc_id"] == k and not by_id[k]["is_duplicate"]
+        chains += 1
+    assert chains > 0
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """recall(nprobe=2) >= recall(nprobe=1) against the exact baseline."""
+    from cca_spark.operators.similarity import brute_force_topk, ivf_ann_nprobe
+
+    exact = {(r["q_id"], r["c_id"]) for r in brute_force_topk(spark, sf_dir).collect()}
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["q_id"], r["c_id"])
+            for r in ivf_ann_nprobe(spark, sf_dir, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 > 0.3, f"nprobe=2 recall suspiciously low: {r2}"
+
+
+def test_simhash64_banded_catches_twins(spark, sf_dir):
+    """The banded Hamming join must recover most suffix-perturbed twins
+    (identical-signature clustering recovers none of the near matches)."""
+    from cca_spark.operators.dedup import dedup_corpus, simhash64_near_dup_pairs
+
+    n_twins = dedup_corpus(spark, sf_dir).filter(F.col("doc_id") >= 1_000_000).count()
+    pairs = simhash64_near_dup_pairs(spark, sf_dir)
+    twin_hits = pairs.filter(F.col("doc_b") - F.col("doc_a") == 1_000_000).count()
+    assert twin_hits / n_twins > 0.6, f"{twin_hits}/{n_twins} twins caught"
+
+
+def test_snapshot_mapping_all_classes_present(spark, sf_dir):
+    from cca_spark.operators.mapping import snapshot_mapping
+
+    m = snapshot_mapping(spark, sf_dir)
+    classes = {r["mapping"] for r in m.select("mapping").distinct().collect()}
+    assert classes == {"mapped_eq", "mapped_neq", "renamed", "moved", "deleted", "added"}
+    # every v1 path appears exactly once as old_path; every v2 path once as new_path
+    dup_old = (
+        m.filter(F.col("old_path").isNotNull())
+        .groupBy("old_path").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_old == 0
+
+
+def test_cdc_reverse_identity(spark, sf_dir):
+    """apply ∘ reverse == identity, bit-for-bit (pre-images restored
+    verbatim, no arithmetic un-doing)."""
+    from cca_spark.operators.delta import cdc_merge_reverse
+
+    recovered = cdc_merge_reverse(spark, sf_dir)
+    orig = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_name", F.round(F.col("c_acctbal"), 2).alias("c_acctbal"))
+    )
+    assert recovered.exceptAll(orig).count() == 0
+    assert orig.exceptAll(recovered).count() == 0
