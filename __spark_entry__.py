@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_rename_move_map": MAP.snapshot_mapping,
         "guard_fact_lookup": q_guard_lookup,
         "cdc_merge_reverse": DL.cdc_merge_reverse,
+        "similar_turn_pairs": R.similar_turn_pairs,
         "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
         "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
     }
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_reverse": (
             "SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer"
         ),
+        "similar_turn_pairs": OR.similar_turn_pairs_sql(sf),
     }
     training = {
         "lang_id_heuristic": OT.lang_id_sql(),

@@ -63,10 +63,10 @@ def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
     # (27.9 -> 16.0s at local[16]) while the JVM JIT tiered up the
     # codegen'd scan/Arrow/shuffle paths and the Python worker pool
     # filled. Timed trials must start at steady state.
-    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
-    agg_per_sink(routed_facts(spark, transcripts.limit(2000))).collect()
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+    agg_per_sink(routed_facts(spark, transcripts.limit(2000), slim=True)).collect()
     for _ in range(warmups):
-        agg_per_sink(routed_facts(spark, transcripts)).collect()
+        agg_per_sink(routed_facts(spark, transcripts, slim=True)).collect()
 
     timings: dict[str, float] = {}
 
@@ -83,7 +83,11 @@ def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
     agg_rows = []
     for _ in range(pipeline_trials):
         t0 = time.time()
-        agg = agg_per_sink(routed_facts(spark, transcripts, parse_strategy="pandas"))
+        # slim fact stream: aggregate-needed columns only through Arrow
+        # (the plan pipeline_agg/the driver's flagship query executes)
+        agg = agg_per_sink(
+            routed_facts(spark, transcripts, parse_strategy="pandas", slim=True)
+        )
         agg_rows = agg.collect()
         trial_secs.append(time.time() - t0)
     pipeline_sec = min(trial_secs)

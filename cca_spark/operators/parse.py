@@ -56,15 +56,89 @@ FACT_COLUMNS = [
     "value",
 ]
 
+# Slim fact stream: manual column pruning THROUGH the UDF boundary.
+# Catalyst cannot push a projection into an opaque mapInPandas, so callers
+# that never read entity_id/span/value (the flagship aggregate) request the
+# slim schema instead — at 10^12 turns the full stream ships ~150 B/fact of
+# derived strings through Arrow that the aggregate immediately drops.
+SLIM_FACT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, "
+    "ts timestamp_ntz, rule_id string, sink string, significance int"
+)
+
+SLIM_FACT_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "tool",
+    "ts",
+    "rule_id",
+    "sink",
+    "significance",
+]
+
+
+def _extract_batch_slim(
+    pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]
+) -> pd.DataFrame:
+    """Slim kernel: one output row per match, meta columns only — no span
+    arithmetic, no value extraction, no entity_id concat. Same candidate
+    discipline as the full kernel (vectorized anchor + tool-scope masks);
+    emits exactly the same NUMBER of rows per (turn, rule), so any
+    aggregate over the slim stream equals the same aggregate over the full
+    stream (pinned by test_slim_parse_agg_equivalence)."""
+    import numpy as np
+
+    texts_s = pdf["text"].fillna("")
+    tools_s = pdf["tool"]
+    texts = texts_s.tolist()
+    hits: list[tuple[int, int]] = []  # (row, rule)
+    for j, (rule, cre) in enumerate(bank):
+        mask = texts_s.str.contains(rule.anchor, regex=False)
+        if rule.tool_scope is not None:
+            mask &= tools_s == rule.tool_scope
+        finditer = cre.finditer
+        for i in np.nonzero(mask.to_numpy())[0]:
+            for _ in finditer(texts[i]):
+                hits.append((i, j))
+
+    if hits:
+        ix = np.fromiter((h[0] for h in hits), dtype=np.int64, count=len(hits))
+        rj = np.fromiter((h[1] for h in hits), dtype=np.int64, count=len(hits))
+    else:
+        ix = rj = np.empty(0, dtype=np.int64)
+    rule_ids = np.array([r.rule_id for r, _ in bank], dtype=object)
+    sinks = np.array([r.sink for r, _ in bank], dtype=object)
+    sigs = np.array([r.significance for r, _ in bank], dtype=np.int32)
+    res = pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].to_numpy()[ix],
+            "turn_idx": pdf["turn_idx"].to_numpy()[ix].astype("int32"),
+            "role": pdf["role"].to_numpy()[ix],
+            "tool": pdf["tool"].to_numpy()[ix],
+            "ts": pdf["ts"].to_numpy()[ix],
+            "rule_id": rule_ids[rj],
+            "sink": sinks[rj],
+            "significance": sigs[rj],
+        }
+    )
+    res["ts"] = pd.to_datetime(res["ts"])
+    for c in ("conv_id", "role", "tool", "rule_id", "sink"):
+        res[c] = res[c].astype(object)
+    return res[SLIM_FACT_COLUMNS]
+
 
 def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd.DataFrame:
     """Apply the compiled bank to one Arrow batch; emit one row per match.
 
     Hot-loop discipline (measured, not guessed — see git history):
-    - per-text LITERAL anchor check (``rule.anchor in text``) before the
-      backtracking pattern: every match provably contains the anchor
-      (tests/test_rules_unit.py), and a substring scan is ~2x cheaper than
-      even the combined-alternation regex pass. Same
+    - RULE-MAJOR iteration with a VECTORIZED literal anchor prefilter:
+      ``Series.str.contains(anchor, regex=False)`` computes the per-rule
+      candidate mask in C (plus a vectorized tool-scope equality for
+      sub-bank rules), so the Python loop only visits (rule, candidate)
+      pairs — 1.5x faster at 25 rules than the row-major loop whose
+      2.5M-iteration rule×row bytecode dominated. Every match provably
+      contains the anchor (tests/test_rules_unit.py); same
       cheap-filter-before-expensive-work discipline as the reference's
       similarity prefilters (comparison.ml:30-38).
     - the loop appends ONE small tuple per fact (not 12 per-column
@@ -72,21 +146,22 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd
       fancy-indexing and the entity_id by vectorized pandas string
       concatenation — 2.5x faster end-to-end than the naive kernel.
     """
-    texts = pdf["text"].fillna("").tolist()
-    tools = pdf["tool"].tolist()  # per-tool sub-bank dispatch (rules.py)
+    import numpy as np
+
+    texts_s = pdf["text"].fillna("")
+    tools_s = pdf["tool"]  # per-tool sub-bank dispatch (rules.py)
+    texts = texts_s.tolist()
     hits: list[tuple[int, int, int, int, str]] = []  # (row, rule, start, end, value)
-    for i, text in enumerate(texts):
-        for j, (rule, cre) in enumerate(bank):
-            if rule.tool_scope is not None and tools[i] != rule.tool_scope:
-                continue
-            if rule.anchor not in text:
-                continue
-            for m in cre.finditer(text):
+    for j, (rule, cre) in enumerate(bank):
+        mask = texts_s.str.contains(rule.anchor, regex=False)
+        if rule.tool_scope is not None:
+            mask &= tools_s == rule.tool_scope
+        finditer = cre.finditer
+        for i in np.nonzero(mask.to_numpy())[0]:
+            for m in finditer(texts[i]):
                 hits.append(
                     (i, j, m.start(), m.end(), m.group(1) if m.groups() else m.group(0))
                 )
-
-    import numpy as np
 
     if hits:
         ix = np.fromiter((h[0] for h in hits), dtype=np.int64, count=len(hits))
@@ -133,21 +208,32 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd
     return res[FACT_COLUMNS]
 
 
-def parse_facts(transcripts: DataFrame, strategy: str = "pandas") -> DataFrame:
-    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> fact stream."""
+def parse_facts(
+    transcripts: DataFrame, strategy: str = "pandas", slim: bool = False
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> fact stream.
+
+    ``slim=True`` emits only the meta columns an aggregate consumes
+    (SLIM_FACT_COLUMNS) — manual projection pushdown through the Arrow
+    boundary; row multiset per (turn, rule) is identical to the full
+    stream."""
     if strategy == "pandas":
+        kernel = _extract_batch_slim if slim else _extract_batch
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # compile once per task (reference compiles its rule bank once
             # per language engine instance, java_change.ml:788-793)
             bank = [(r, re.compile(r.pattern)) for r in RULES]
             for pdf in batches:
-                yield _extract_batch(pdf, bank)
+                yield kernel(pdf, bank)
 
-        return transcripts.mapInPandas(run, schema=FACT_SCHEMA)
+        return transcripts.mapInPandas(
+            run, schema=SLIM_FACT_SCHEMA if slim else FACT_SCHEMA
+        )
 
     if strategy == "sql":
-        return _parse_facts_sql(transcripts)
+        df = _parse_facts_sql(transcripts)
+        return df.select(*SLIM_FACT_COLUMNS) if slim else df
 
     raise ValueError(f"unknown parse strategy: {strategy}")
 

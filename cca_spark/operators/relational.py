@@ -301,6 +301,49 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similar_turn_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, len_gate: float = 0.3
+) -> DataFrame:
+    """Similarity-threshold prefilter operator: cheap gate before the
+    expensive verify, composed exactly like the reference
+    (``ccautil/sim.py:28-66`` gates tree diff on similarity >= 0.7;
+    ``verdiff.py:62-63``).
+
+    Candidate pairs = adjacent turns of the same role within a
+    conversation (one window, no join). CHEAP gate: relative length
+    difference <= ``len_gate`` — |len_a - len_b| / max is a lower bound on
+    normalized edit distance, so no true match is lost. EXPENSIVE verify:
+    Levenshtein similarity >= ``threshold``, computed only on gate
+    survivors (Catalyst evaluates the conjunction left-to-right inside one
+    codegen'd filter — the levenshtein never runs on gated-out rows)."""
+    from cca_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lead("turn_idx").over(w).alias("next_turn_idx"),
+        F.lead("role").over(w).alias("next_role"),
+        F.lead("text").over(w).alias("next_text"),
+    ).filter(F.col("next_turn_idx").isNotNull() & (F.col("role") == F.col("next_role")))
+    la, lb = F.length("text"), F.length("next_text")
+    maxlen = F.greatest(la, lb)
+    gated = pairs.filter(
+        (F.abs(la - lb).cast("double") / maxlen.cast("double")) <= len_gate
+    )
+    sim = F.round(
+        F.lit(1.0) - F.levenshtein("text", "next_text").cast("double") / maxlen.cast("double"),
+        6,
+    )
+    return (
+        gated.select("conv_id", "turn_idx", "next_turn_idx", "role", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3: nearest-enclosing / ancestor arrays (fact_base.ml:317-345) —
     category → sorted ancestor path string via the closure fixpoint."""

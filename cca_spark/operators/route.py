@@ -41,9 +41,16 @@ def salted_repartition(df: DataFrame, n_salts: int = 16) -> DataFrame:
 
     ``repartition(conv_id, salt)`` splits a hot conversation across up to
     ``n_salts`` partitions while keeping co-location for everyone else.
+    Slim fact streams (no entity_id) salt on the stable natural key
+    (conv_id, turn_idx, rule_id) — equally deterministic.
     """
+    salt_src = (
+        F.xxhash64("entity_id")
+        if "entity_id" in df.columns
+        else F.xxhash64("conv_id", "turn_idx", "rule_id")
+    )
     return (
-        df.withColumn("_salt", F.pmod(F.xxhash64("entity_id"), F.lit(n_salts)))
+        df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
         .repartition(F.col("conv_id"), F.col("_salt"))
         .drop("_salt")
     )

@@ -321,6 +321,29 @@ FROM routed GROUP BY conv_id, rule_id
     )
 
 
+def similar_turn_pairs_sql(sf: str, threshold: float = 0.5, len_gate: float = 0.3) -> str:
+    return oracles.with_transcripts(
+        sf,
+        f"""
+SELECT conv_id, turn_idx, next_turn_idx, role,
+  round(1.0 - levenshtein(text, next_text)
+        / cast(greatest(length(text), length(next_text)) AS double), 6) AS sim
+FROM (
+  SELECT conv_id, turn_idx, role, text,
+    lead(turn_idx) OVER w AS next_turn_idx,
+    lead(role) OVER w AS next_role,
+    lead(text) OVER w AS next_text
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+WHERE next_turn_idx IS NOT NULL AND role = next_role
+  AND abs(length(text) - length(next_text))
+      / cast(greatest(length(text), length(next_text)) AS double) <= {len_gate}
+  AND round(1.0 - levenshtein(text, next_text)
+        / cast(greatest(length(text), length(next_text)) AS double), 6) >= {threshold}
+""",
+    )
+
+
 def snapshot_mapping_sql() -> str:
     """Mirror of operators/mapping.py: same v1/v2 derivation, same
     path-join + digest-rank-join + anti-join classification."""

@@ -25,8 +25,13 @@ def routed_facts(
     parse_strategy: str = "pandas",
     salt: bool = False,
     n_salts: int = 16,
+    slim: bool = False,
 ) -> DataFrame:
-    facts = parse_facts(transcripts, strategy=parse_strategy)
+    """``slim=True`` prunes the fact stream to aggregate-needed columns at
+    the UDF boundary (parse.SLIM_FACT_COLUMNS) — Catalyst cannot project
+    into an opaque mapInPandas, so the pruning is explicit. Salting keys
+    on conv_id alone in slim mode (no entity_id)."""
+    facts = parse_facts(transcripts, strategy=parse_strategy, slim=slim)
     enriched = enrich_facts(spark, facts)
     routed = route_facts(enriched)
     if salt:
@@ -39,6 +44,11 @@ def pipeline_agg(
     sf_dir: str,
     parse_strategy: str = "pandas",
 ) -> DataFrame:
-    """Flagship query: routed fact counts per (sink, tool, date_bucket)."""
+    """Flagship query: routed fact counts per (sink, tool, date_bucket).
+
+    Uses the slim fact stream: the aggregate reads only
+    (conv_id, sink, tool, date_bucket), so the parse stage never ships
+    entity_id/span/value bytes through Arrow (aggregate-identical to the
+    full stream; test_slim_parse_agg_equivalence)."""
     transcripts = load_transcripts(spark, sf_dir)
-    return agg_per_sink(routed_facts(spark, transcripts, parse_strategy))
+    return agg_per_sink(routed_facts(spark, transcripts, parse_strategy, slim=True))

@@ -82,6 +82,26 @@ def test_snapshot_mapping_all_classes_present(spark, sf_dir):
     assert dup_old == 0
 
 
+def test_slim_parse_agg_equivalence(spark, sf_dir):
+    """The slim (column-pruned) fact stream must aggregate identically to
+    the full stream — same row multiset per (turn, rule), narrower
+    columns. The flagship pipeline_agg runs on the slim path."""
+    from cca_spark.operators.aggregate import agg_per_sink
+    from cca_spark.plans.pipeline import routed_facts
+    from cca_spark.transcripts import load_transcripts
+    from tests.util import normalize
+
+    t = load_transcripts(spark, sf_dir)
+    full = normalize(agg_per_sink(routed_facts(spark, t)).toPandas())
+    slim = normalize(agg_per_sink(routed_facts(spark, t, slim=True)).toPandas())
+    assert full.equals(slim)
+    # slim + salted still equals (salt keys on the natural key in slim mode)
+    salted = normalize(
+        agg_per_sink(routed_facts(spark, t, slim=True, salt=True, n_salts=5)).toPandas()
+    )
+    assert full.equals(salted)
+
+
 def test_cdc_reverse_identity(spark, sf_dir):
     """apply ∘ reverse == identity, bit-for-bit (pre-images restored
     verbatim, no arithmetic un-doing)."""
