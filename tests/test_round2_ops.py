@@ -68,6 +68,36 @@ def test_simhash64_banded_catches_twins(spark, sf_dir):
     assert twin_hits / n_twins > 0.6, f"{twin_hits}/{n_twins} twins caught"
 
 
+def test_parse_handles_null_empty_huge_text(spark):
+    """Edge probes from the verify recipe, pinned: NULL text, empty text,
+    1 MB text, and a multi-match text — both physical strategies, no
+    crash, same results (empty Arrow batches carry explicit dtypes)."""
+    import datetime
+
+    from cca_spark.operators.parse import parse_facts
+    from tests.util import normalize
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", None, None, ts),
+        ("c1", 1, "assistant", "", None, ts),
+        ("c1", 2, "assistant", "```python\nx = 1\nprint(x)\n```" * 1, None, ts),
+        ("c1", 3, "tool", "x" * 1_000_000, "bash", ts),
+        ("c2", 0, "user", "ERROR 1: a\nERROR 2: b", None, ts),  # multi-match
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    pandas_res = normalize(parse_facts(t, strategy="pandas").toPandas())
+    # null/empty rows emit nothing; multi-match emits one fact per match
+    assert (pandas_res["turn_idx"].astype(int) >= 0).all()
+    assert len(pandas_res[pandas_res["rule_id"] == "r_error_code"]) == 2
+    slim_res = parse_facts(t, slim=True).count()
+    assert slim_res == len(pandas_res)
+
+
 def test_snapshot_mapping_all_classes_present(spark, sf_dir):
     from cca_spark.operators.mapping import snapshot_mapping
 
