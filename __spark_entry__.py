@@ -178,8 +178,14 @@ def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigs.append(f"{st.st_mtime_ns}:{st.st_size}")
         return ";".join(sigs)
 
+    from cca_spark.transcripts import TRANSCRIPTS_SQL
+
     events_path = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(f"{sf_dir}|{_content_sig(events_path)}".encode()).hexdigest()[:12]
+    # tag = input bytes AND derivation version: editing the transcript
+    # templates must invalidate the staged stream source too
+    tag = hashlib.md5(
+        f"{sf_dir}|{_content_sig(events_path)}|{TRANSCRIPTS_SQL}".encode()
+    ).hexdigest()[:12]
     input_dir = f"/tmp/cca_stream_src_{tag}"
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         load_transcripts(spark, sf_dir).repartition(8).write.mode(

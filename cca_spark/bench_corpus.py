@@ -33,8 +33,15 @@ def ensure_bench_corpus(
     derivation would measure the generator, not the pipeline. A fixed file
     count (128) gives both parallelism levels identical scan splits.
     """
+    import hashlib
+
+    from cca_spark.transcripts import TRANSCRIPTS_SQL
+
+    # key the stored corpus on the derivation version too — template edits
+    # must regenerate it, not silently reuse stale text
+    dv = hashlib.md5(TRANSCRIPTS_SQL.encode()).hexdigest()[:8]
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(BENCH_CORPUS_BASE, f"{tag}_r{replicas}")
+    path = os.path.join(BENCH_CORPUS_BASE, f"{tag}_r{replicas}_{dv}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         (

@@ -155,6 +155,13 @@ RULES: list[Rule] = [
         2,
         "upstream ",
     ),
+    Rule(
+        "r_warn_line",
+        "error_signature",
+        r"WARN ([^\n]*)",
+        2,
+        "WARN ",
+    ),
     # ---------------------------------------------------- user_signal bank
     Rule(
         "r_item_ref",
@@ -170,6 +177,20 @@ RULES: list[Rule] = [
         1,
         "and ",
     ),
+    Rule(
+        "r_url_ref",
+        "user_signal",
+        r"https://([\w./-]+)",
+        2,
+        "https://",
+    ),
+    Rule(
+        "r_priority",
+        "user_signal",
+        r"priority=p(\d)",
+        1,
+        "priority=p",
+    ),
     # --------------------------------------------------- session_meta bank
     Rule(
         "r_session_start",
@@ -184,6 +205,27 @@ RULES: list[Rule] = [
         r"turn (\d\d+) \[",
         1,
         "turn ",
+    ),
+    Rule(
+        "r_retry_sched",
+        "session_meta",
+        r"retry (\d)/3 scheduled",
+        1,
+        "/3 scheduled",
+    ),
+    Rule(
+        "r_render_ms",
+        "session_meta",
+        r"render (\d+)ms",
+        1,
+        "render ",
+    ),
+    Rule(
+        "r_locale",
+        "session_meta",
+        r"locale=([a-z][a-z]-[A-Z][A-Z])",
+        1,
+        "locale=",
     ),
     # ------------------------------- per-tool sub-banks (tool_scope keyed),
     # the per-language-bank analog: the rule runs ONLY on rows whose tool
@@ -235,6 +277,30 @@ RULES: list[Rule] = [
         1,
         "name=grep",
         tool_scope="grep",
+    ),
+    Rule(
+        "r_read_file_q",
+        "exec_audit",
+        r'name=read_file args=\{"q": (\d+)\}',
+        1,
+        "name=read_file",
+        tool_scope="read_file",
+    ),
+    Rule(
+        "r_exit_code",
+        "exec_audit",
+        r"exit code (\d+)",
+        3,
+        "exit code ",
+        tool_scope="bash",
+    ),
+    Rule(
+        "r_write_bytes",
+        "exec_audit",
+        r"WROTE bytes=(\d+)",
+        2,
+        "WROTE bytes=",
+        tool_scope=None,  # emitted by both write_file and edit turns
     ),
 ]
 

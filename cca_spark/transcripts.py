@@ -90,9 +90,18 @@ SELECT
       || chr(10) || 'Traceback (most recent call last):'
       || chr(10) || '  File "main.py", line ' || cast(event_id % 200 + 1 AS string) || ', in run'
       || chr(10) || 'ValueError: bad value ' || cast(event_id % 13 AS string)
+      || CASE WHEN tool = 'bash'
+              THEN chr(10) || 'exit code ' || cast(event_id % 3 + 1 AS string)
+              ELSE '' END
+      || CASE WHEN event_id % 2 = 0
+              THEN chr(10) || 'retry ' || cast(event_id % 3 + 1 AS string) || '/3 scheduled'
+              ELSE '' END
     WHEN event_type = 'purchase' THEN
       'TOOL_CALL: name=' || tool || ' args={"path": "f_' || cast(event_id % 500 AS string) || '.txt"}'
       || chr(10) || 'OK rows=' || cast(event_id % 42 AS string)
+      || CASE WHEN tool = 'write_file' OR tool = 'edit'
+              THEN chr(10) || 'WROTE bytes=' || cast(event_id % 4096 AS string)
+              ELSE '' END
     WHEN event_type = 'view' THEN
       'Here is a fix:'
       || chr(10) || '```python'
@@ -103,10 +112,19 @@ SELECT
       || CASE WHEN event_id % 7 = 0
               THEN chr(10) || 'ERROR ' || cast(500 + event_id % 4 AS string) || ': upstream timeout'
               ELSE '' END
+      || CASE WHEN event_id % 3 = 0
+              THEN chr(10) || 'see https://docs.example.com/p' || cast(event_id % 60 AS string) || ' for details'
+              ELSE '' END
+      || CASE WHEN event_id % 5 = 0
+              THEN chr(10) || 'WARN slow render ' || cast(event_id % 900 + 100 AS string) || 'ms'
+              ELSE '' END
     WHEN event_type = 'click' THEN
       'please check item ' || cast(event_id AS string) || ' and report'
+      || ' priority=p' || cast(event_id % 4 AS string)
     ELSE
       'session start for user ' || cast(user_id AS string)
+      || ' locale=' || CASE cast(user_id % 3 AS int)
+                         WHEN 0 THEN 'en-US' WHEN 1 THEN 'de-DE' ELSE 'ja-JP' END
   END AS text,
   tool,
   ts

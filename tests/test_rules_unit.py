@@ -18,20 +18,25 @@ SAMPLE_TEXTS = [
     'turn 12 [tool]: TOOL_CALL: name=bash args={"q": 3}\n'
     "Traceback (most recent call last):\n"
     '  File "main.py", line 5, in run\n'
-    "ValueError: bad value 2",
+    "ValueError: bad value 2\n"
+    "exit code 2\n"
+    "retry 1/3 scheduled",
     # tool turn, ok path
-    'turn 3 [tool]: TOOL_CALL: name=write_file args={"path": "f_3.txt"}\nOK rows=7',
+    'turn 3 [tool]: TOOL_CALL: name=write_file args={"path": "f_3.txt"}\n'
+    "OK rows=7\nWROTE bytes=2048",
     'turn 44 [tool]: TOOL_CALL: name=search args={"path": "f_9.txt"}\nOK rows=1',
     'turn 5 [tool]: TOOL_CALL: name=grep args={"q": 88}\n'
     "Traceback (most recent call last):\n"
     '  File "main.py", line 9, in run\n'
     "ValueError: bad value 1",
-    # assistant turn with code fence and ERROR line
+    # assistant turn with code fence, ERROR line, URL and WARN
     "turn 10 [assistant]: Here is a fix:\n```python\nx = 1\nprint(x)\n```\nDone.\n"
-    "ERROR 502: upstream timeout",
+    "ERROR 502: upstream timeout\n"
+    "see https://docs.example.com/p7 for details\n"
+    "WARN slow render 250ms",
     # user / system turns
-    "turn 0 [user]: please check item 123 and report",
-    "turn 101 [system]: session start for user 42",
+    "turn 0 [user]: please check item 123 and report priority=p2",
+    "turn 101 [system]: session start for user 42 locale=en-US",
     # multiple fences / multiple errors in one text
     "```py\na\n```\nmid\n```sql\nSELECT 1\n```\nERROR 1: a\nERROR 2: b",
     # near-misses that must NOT match
