@@ -41,7 +41,7 @@ def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
     from cca_spark.operators import relational as R
     from cca_spark.operators import similarity as SIM
     from cca_spark.operators.aggregate import agg_per_sink
-    from cca_spark.plans.pipeline import routed_facts
+    from cca_spark.plans.pipeline import fused_pipeline_agg, routed_facts
     from cca_spark.session import get_spark
 
     spark = get_spark(app_name="cca_spark_bench", master=master)
@@ -64,9 +64,9 @@ def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
     # codegen'd scan/Arrow/shuffle paths and the Python worker pool
     # filled. Timed trials must start at steady state.
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
-    agg_per_sink(routed_facts(spark, transcripts.limit(2000), slim=True)).collect()
+    fused_pipeline_agg(spark, transcripts.limit(2000)).collect()
     for _ in range(warmups):
-        agg_per_sink(routed_facts(spark, transcripts, slim=True)).collect()
+        fused_pipeline_agg(spark, transcripts).collect()
 
     timings: dict[str, float] = {}
 
@@ -83,11 +83,9 @@ def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
     agg_rows = []
     for _ in range(pipeline_trials):
         t0 = time.time()
-        # slim fact stream: aggregate-needed columns only through Arrow
-        # (the plan pipeline_agg/the driver's flagship query executes)
-        agg = agg_per_sink(
-            routed_facts(spark, transcripts, parse_strategy="pandas", slim=True)
-        )
+        # fused plan: partial aggregate inside the Arrow kernel — the same
+        # plan pipeline_agg (the driver's flagship query) executes
+        agg = fused_pipeline_agg(spark, transcripts)
         agg_rows = agg.collect()
         trial_secs.append(time.time() - t0)
     pipeline_sec = min(trial_secs)

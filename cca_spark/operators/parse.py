@@ -128,6 +128,76 @@ def _extract_batch_slim(
     return res[SLIM_FACT_COLUMNS]
 
 
+PARTIAL_AGG_SCHEMA = (
+    "conv_id string, tool string, date_bucket timestamp_ntz, sink string, n long"
+)
+
+
+def _extract_batch_partials(
+    pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]
+) -> pd.DataFrame:
+    """Map-side combine THROUGH the Arrow boundary: emit per-batch partial
+    counts keyed by (conv_id, tool, date, sink) instead of one row per
+    fact. Spark's partial HashAggregate cannot reach inside a mapInPandas,
+    so a 10k-turn batch that produces ~55k facts would ship 55k Arrow rows
+    the JVM immediately combines; the pandas groupby here shrinks that to
+    the batch's distinct key count (~10-15x fewer rows at this corpus).
+    The sink column is the RULE's sink (pre-reroute): dead-letter routing
+    needs the ontology and stays a JVM broadcast join downstream, so
+    routing logic never gets duplicated in Python."""
+    import numpy as np
+
+    texts_s = pdf["text"].fillna("")
+    tools_s = pdf["tool"]
+    texts = texts_s.tolist()
+    hits: list[tuple[int, int]] = []
+    for j, (rule, cre) in enumerate(bank):
+        mask = texts_s.str.contains(rule.anchor, regex=False)
+        if rule.tool_scope is not None:
+            mask &= tools_s == rule.tool_scope
+        finditer = cre.finditer
+        for i in np.nonzero(mask.to_numpy())[0]:
+            for _ in finditer(texts[i]):
+                hits.append((i, j))
+    if hits:
+        ix = np.fromiter((h[0] for h in hits), dtype=np.int64, count=len(hits))
+        rj = np.fromiter((h[1] for h in hits), dtype=np.int64, count=len(hits))
+    else:
+        ix = rj = np.empty(0, dtype=np.int64)
+    sinks = np.array([r.sink for r, _ in bank], dtype=object)
+    facts = pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].to_numpy()[ix],
+            "tool": pdf["tool"].to_numpy()[ix],
+            "date_bucket": pd.to_datetime(pdf["ts"].to_numpy()[ix]).floor("D"),
+            "sink": sinks[rj],
+        }
+    )
+    out = (
+        facts.groupby(["conv_id", "tool", "date_bucket", "sink"], dropna=False)
+        .size()
+        .reset_index(name="n")
+    )
+    out["n"] = out["n"].astype("int64")
+    out["date_bucket"] = pd.to_datetime(out["date_bucket"])
+    for c in ("conv_id", "tool", "sink"):
+        out[c] = out[c].astype(object)
+    # dropna=False keeps NaN tool groups; Arrow wants None, not NaN
+    out["tool"] = out["tool"].where(pd.notna(out["tool"]), None)
+    return out[["conv_id", "tool", "date_bucket", "sink", "n"]]
+
+
+def parse_fact_partials(transcripts: DataFrame) -> DataFrame:
+    """Per-batch partial fact counts (see _extract_batch_partials)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bank = [(r, re.compile(r.pattern)) for r in RULES]
+        for pdf in batches:
+            yield _extract_batch_partials(pdf, bank)
+
+    return transcripts.mapInPandas(run, schema=PARTIAL_AGG_SCHEMA)
+
+
 def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd.DataFrame:
     """Apply the compiled bank to one Arrow batch; emit one row per match.
 

@@ -50,7 +50,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 50k-row Arrow batches: amortizes per-batch Python overheads
+        # (vectorized anchor masks, partial-agg groupby, stream framing) —
+        # measured 13.3s -> 11.1s on the fused pipeline at local[16],
+        # 6.4M turns; ~10 MB/batch peak per worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # parquet writers: bound file sizes like the reference bounds its

@@ -132,6 +132,21 @@ def test_slim_parse_agg_equivalence(spark, sf_dir):
     assert full.equals(salted)
 
 
+def test_fused_pipeline_agg_equivalence(spark, sf_dir):
+    """The kernel-fused partial aggregate must equal the unfused
+    parse→enrich→route→agg result exactly (map-side combine is a pure
+    reorganization of the same counts)."""
+    from cca_spark.operators.aggregate import agg_per_sink
+    from cca_spark.plans.pipeline import fused_pipeline_agg, routed_facts
+    from cca_spark.transcripts import load_transcripts
+    from tests.util import normalize
+
+    t = load_transcripts(spark, sf_dir)
+    fused = normalize(fused_pipeline_agg(spark, t).toPandas())
+    unfused = normalize(agg_per_sink(routed_facts(spark, t)).toPandas())
+    assert fused.equals(unfused)
+
+
 def test_cdc_reverse_identity(spark, sf_dir):
     """apply ∘ reverse == identity, bit-for-bit (pre-images restored
     verbatim, no arithmetic un-doing)."""
