@@ -38,15 +38,23 @@ def ensure_bench_corpus(
     from cca_spark.transcripts import TRANSCRIPTS_SQL
 
     # key the stored corpus on the derivation version too — template edits
-    # must regenerate it, not silently reuse stale text
+    # must regenerate it, not silently reuse stale text. 's' = sorted layout.
     dv = hashlib.md5(TRANSCRIPTS_SQL.encode()).hexdigest()[:8]
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(BENCH_CORPUS_BASE, f"{tag}_r{replicas}_{dv}")
+    path = os.path.join(BENCH_CORPUS_BASE, f"{tag}_r{replicas}_{dv}s")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         (
             replicated_transcripts(spark, sf_dir, replicas)
             .repartition(n_files, "conv_id")
+            # declared sort order, exactly as the production Iceberg table
+            # would have (SORTED BY conv_id, turn_idx): conversations are
+            # CONTIGUOUS in every file, so (a) per-conv windows read runs,
+            # (b) an Arrow batch covers few convs and the kernel's
+            # map-side partial aggregate actually compresses — unsorted
+            # files interleave ~2k convs/batch and partials stop shrinking
+            # (measured: 105M facts -> 34M partials unsorted at r192)
+            .sortWithinPartitions("conv_id", "turn_idx")
             .write.mode("overwrite")
             .parquet(path)
         )
