@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_turn_pairs": R.similar_turn_pairs,
         "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
         "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
+        # rows-only: Lloyd-trained centroids are float means (no exact
+        # cross-engine hash); recall vs brute force asserted in pytest
+        "ann_ivf_trained": SIM.ivf_ann_trained,
     }
 
     delta_ops = {

@@ -229,11 +229,11 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb"))
 
 
-def _centroid_ranks(emb: DataFrame) -> DataFrame:
+def _centroid_ranks(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     """(vec_id, embedding, centroid_id, r): every vector's centroids
     ranked by cosine (6dp-rounded, centroid_id tie-break). Broadcast the
     tiny centroid table, score all cells in one projection."""
-    cents = F.broadcast(_ivf_centroids(emb))
+    cents = F.broadcast(cents if cents is not None else _ivf_centroids(emb))
     scored = emb.crossJoin(cents).select(
         "vec_id",
         "embedding",
@@ -266,6 +266,98 @@ def ivf_ann(spark: SparkSession, sf_dir: str, k: int = 3, n_queries: int = 20) -
     query touches 1/K of the data. Recall < 1 by design; determinism
     exact (6dp rounding + vec_id tie-breaks)."""
     return ivf_ann_nprobe(spark, sf_dir, k=k, n_queries=n_queries, nprobe=1)
+
+
+def ivf_train_centroids(
+    emb: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Trained coarse quantizer: Lloyd iterations expressed relationally —
+    assign (broadcast score + argmin window) then recompute each cell's
+    element-wise mean via posexplode/groupBy (no UDF, no driver-side
+    vectors). Seeded from the deterministic stride centroids; ``iters``
+    bounded like every other fixpoint in this repo. At 10^12 vectors each
+    iteration is one broadcast join + one (cell, pos)-keyed aggregation —
+    the standard distributed k-means step.
+
+    Verified by recall (pytest): trained cells beat the untrained stride
+    quantizer at equal nprobe (float means make exact cross-engine hashing
+    inappropriate, so the ANN query over these is rows-only)."""
+    cents = _ivf_centroids(emb)
+    for _ in range(iters):
+        assigned = (
+            _centroid_ranks(emb, cents)
+            .filter(F.col("r") == 1)
+            .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        )
+        pos = assigned.select(
+            "cell", F.posexplode("embedding").alias("pos", "val")
+        )
+        means = pos.groupBy("cell", "pos").agg(
+            F.avg(F.col("val").cast("double")).alias("m")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias(
+                    "cent_emb"
+                ),
+            )
+            .localCheckpoint(eager=True)  # bound the iteration's plan depth
+        )
+    return cents
+
+
+def ivf_ann_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_queries: int = 20,
+    nprobe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN over TRAINED centroids (Lloyd-iterated) with multi-cell
+    probing — the production IVF configuration. Rows-only correctness
+    (see ivf_train_centroids); recall asserted in pytest."""
+    emb = _emb(spark, sf_dir)
+    cents = ivf_train_centroids(emb, iters=iters)
+    ranks = _centroid_ranks(emb, cents)
+    assigned = ranks.filter(F.col("r") == 1).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cell")
+    )
+    queries = F.broadcast(
+        ranks.filter((F.col("vec_id") < n_queries) & (F.col("r") <= nprobe)).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("centroid_id").alias("cell"),
+        )
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "cell"
+    )
+    scored = (
+        queries.join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ivf_ann_nprobe(

@@ -57,6 +57,27 @@ def test_ivf_nprobe_recall_monotone(spark, sf_dir):
     assert r2 > 0.3, f"nprobe=2 recall suspiciously low: {r2}"
 
 
+def test_ivf_trained_centroids_recall(spark, sf_dir):
+    """Lloyd-trained centroids must not lose recall vs the stride seed at
+    equal nprobe (at sf0.01 they WIN 0.567 vs 0.367; tiny sf ties)."""
+    from cca_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_nprobe,
+        ivf_ann_trained,
+    )
+
+    exact = {(r["q_id"], r["c_id"]) for r in brute_force_topk(spark, sf_dir).collect()}
+
+    def recall(df):
+        got = {(r["q_id"], r["c_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r_stride = recall(ivf_ann_nprobe(spark, sf_dir, nprobe=2))
+    r_trained = recall(ivf_ann_trained(spark, sf_dir, nprobe=2))
+    assert r_trained >= r_stride
+    assert r_trained > 0.3
+
+
 def test_simhash64_banded_catches_twins(spark, sf_dir):
     """The banded Hamming join must recover most suffix-perturbed twins
     (identical-signature clustering recovers none of the near matches)."""
