@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "guard_fact_lookup": q_guard_lookup,
         "cdc_merge_reverse": DL.cdc_merge_reverse,
         "similar_turn_pairs": R.similar_turn_pairs,
+        "exact_stats": DL.exact_stats,
         "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
         "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
         # rows-only: Lloyd-trained centroids are float means (no exact
@@ -365,6 +366,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer"
         ),
         "similar_turn_pairs": OR.similar_turn_pairs_sql(sf),
+        "exact_stats": oracles.with_transcripts(
+            sf,
+            "SELECT role, count(DISTINCT conv_id) AS n_convs, "
+            "quantile_cont(length(text), 0.5) AS len_p50, "
+            "quantile_cont(length(text), 0.95) AS len_p95, "
+            "quantile_cont(length(text), 0.99) AS len_p99, "
+            "count(*) AS n_turns FROM t GROUP BY role",
+        ),
     }
     training = {
         "lang_id_heuristic": OT.lang_id_sql(),

@@ -228,6 +228,24 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion to approx_stats: exact distinct counts + exact
+    interpolated percentiles (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear-interpolation semantics, so this one IS
+    hash-oracle-able). At 100 TB you run approx_stats; this is the
+    ground-truth check the approximate dashboard is validated against."""
+    from cca_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    return t.groupBy("role").agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.expr("percentile(length(text), 0.5)").alias("len_p50"),
+        F.expr("percentile(length(text), 0.95)").alias("len_p95"),
+        F.expr("percentile(length(text), 0.99)").alias("len_p99"),
+        F.count("*").alias("n_turns"),
+    )
+
+
 # Dialect-shared (Spark SQL + DuckDB) construction of a deterministic
 # unified-diff-shaped patch per document; even doc_ids get a second hunk.
 PATCH_TEXT_SQL = """
