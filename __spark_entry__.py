@@ -369,9 +369,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_stats": oracles.with_transcripts(
             sf,
             "SELECT role, count(DISTINCT conv_id) AS n_convs, "
-            "quantile_cont(length(text), 0.5) AS len_p50, "
-            "quantile_cont(length(text), 0.95) AS len_p95, "
-            "quantile_cont(length(text), 0.99) AS len_p99, "
+            "round(quantile_cont(length(text), 0.5), 6) AS len_p50, "
+            "round(quantile_cont(length(text), 0.95), 6) AS len_p95, "
+            "round(quantile_cont(length(text), 0.99), 6) AS len_p99, "
             "count(*) AS n_turns FROM t GROUP BY role",
         ),
     }

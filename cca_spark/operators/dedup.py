@@ -389,6 +389,15 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # A silent exit here would return WRONG (unconverged) labels while
+        # the recursive-CTE oracle computes the full closure (ADVICE r02):
+        # fail loudly, like every bounded fixpoint in this repo must.
+        raise RuntimeError(
+            f"connected_min_labels did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters for graphs "
+            "with component diameter beyond this bound"
+        )
     return labels
 
 

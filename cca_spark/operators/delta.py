@@ -237,11 +237,14 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cca_spark.transcripts import load_transcripts
 
     t = load_transcripts(spark, sf_dir)
+    # 6dp rounding before the hash compare (repo convention for float
+    # outputs, ADVICE r02): the engines' interpolation arithmetic may
+    # differ by a ULP even though the percentile semantics match.
     return t.groupBy("role").agg(
         F.countDistinct("conv_id").alias("n_convs"),
-        F.expr("percentile(length(text), 0.5)").alias("len_p50"),
-        F.expr("percentile(length(text), 0.95)").alias("len_p95"),
-        F.expr("percentile(length(text), 0.99)").alias("len_p99"),
+        F.round(F.expr("percentile(length(text), 0.5)"), 6).alias("len_p50"),
+        F.round(F.expr("percentile(length(text), 0.95)"), 6).alias("len_p95"),
+        F.round(F.expr("percentile(length(text), 0.99)"), 6).alias("len_p99"),
         F.count("*").alias("n_turns"),
     )
 

@@ -56,8 +56,13 @@ def _v2(docs: DataFrame) -> DataFrame:
     survivors = docs.filter(d % 11 != 0).select(  # %11 deleted
         "doc_id", path.alias("path"), digest.alias("digest")
     )
+    # Added entries live in a PROVABLY disjoint id space (negative ids):
+    # real doc_ids are non-negative at every scale factor, so -(id)-1 can
+    # never collide with a survivor — an additive offset (the old +500_000)
+    # breaks once doc_ids exceed the offset (ADVICE r02), corrupting the
+    # anti-joins and making the per-digest row_number tie-ambiguous.
     added = docs.filter(d % 13 == 0).select(
-        (d + 500_000).alias("doc_id"),
+        (-d - 1).alias("doc_id"),
         F.concat(F.lit("incoming/h_"), d.cast("string"), F.lit(".txt")).alias("path"),
         F.md5(F.concat(F.col("text"), F.lit(" added"))).alias("digest"),
     )

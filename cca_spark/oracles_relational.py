@@ -321,7 +321,11 @@ FROM routed GROUP BY conv_id, rule_id
     )
 
 
-def similar_turn_pairs_sql(sf: str, threshold: float = 0.5, len_gate: float = 0.3) -> str:
+def similar_turn_pairs_sql(
+    sf: str, threshold: float = 0.5, len_gate: float | None = None
+) -> str:
+    if len_gate is None:  # lossless default, mirrors the operator
+        len_gate = 1.0 - threshold
     return oracles.with_transcripts(
         sf,
         f"""
@@ -365,7 +369,7 @@ v2 AS (
          THEN md5(text || ' v2') ELSE md5(text) END AS digest
   FROM documents WHERE doc_id % 11 <> 0
   UNION ALL
-  SELECT doc_id + 500000,
+  SELECT -doc_id - 1,
     'incoming/h_' || cast(doc_id AS varchar) || '.txt',
     md5(text || ' added')
   FROM documents WHERE doc_id % 13 = 0),
