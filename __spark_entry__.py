@@ -203,11 +203,15 @@ def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Insertion order is PRIORITY order: the driver's correctness battery
-    may cap at ~50 entries (it stopped at 50 in round 1), so queries that
-    have never had a driver row — plus this round's new operators — come
-    first; the TPC-H relational battery (every entry driver-green in r01
-    AND pytest-oracle-covered) absorbs the tail shadow."""
+    """Insertion order is PRIORITY order — the driver's correctness battery
+    caps at ~50 entries, so the ROTATION POLICY (VERDICT r02 #1) is:
+    every query whose code or inputs changed this round, plus anything
+    without a fresh driver row, leads; only queries that are code-unchanged
+    AND driver-green in the immediately preceding round absorb the tail
+    shadow. Round 3 head: the 15-query relational battery (r01-green only,
+    and except_unclassified_turns changed semantics after its row), every
+    routed-fact consumer (the rule bank grew 34 -> 62 with value-derived
+    significance), and the round-3 new/changed operators."""
     from cca_spark.operators import dedup as DD
     from cca_spark.operators import delta as DL
     from cca_spark.operators import mapping as MAP
@@ -242,57 +246,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return SIM.ivf_ann_nprobe(spark, sf_dir, nprobe=2)
 
-    # round-1 driver-unchecked (battery tail shadow) + round-2 new ops
-    priority = {
-        "min_max_turns": q_min_max_turns,
+    # ---- head 1: relational battery (r01-green only; semantics of
+    # except_unclassified_turns changed in r2 without a fresh driver row)
+    rel = {
+        "except_unclassified_turns": R.except_unclassified_turns,
+        "pricing_summary": R.pricing_summary,
+        "join_chain_revenue": R.join_chain_revenue,
+        "broadcast_derived_key_join": R.broadcast_derived_key_join,
+        "conditional_predicate_join": R.conditional_predicate_join,
+        "anti_join_unmatched": R.anti_join_unmatched,
+        "semi_join_existing": R.semi_join_existing,
+        "theta_join_next_turn": R.theta_join_next_turn,
+        "range_containment_suppression": R.range_containment_suppression,
+        "union_alternative_keys": R.union_alternative_keys,
+        "running_window_total": R.running_window_total,
+        "sessionize_events": R.sessionize_events,
+        "scalar_function_battery": R.scalar_function_battery,
+        "ancestor_paths": R.ancestor_paths,
+        "token_explode_counts": R.token_explode_counts,
+    }
+    # ---- head 2: every routed-fact consumer (rule bank 34 -> 62 this
+    # round, so ALL of these produce different rows than their r2 evidence)
+    pipeline = {
+        "pipeline_agg_per_sink": q_pipeline_agg,
+        "streaming_pipeline_agg": q_streaming_pipeline_agg,
+        "parse_route_facts": q_parse_facts,
+        "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
+        "enrich_tool_ontology": q_enriched_facts,
+        "route_dead_letter": q_dead_letter,
         "coverage_rollup": q_coverage_rollup,
         "top_k_patterns": q_top_k_patterns,
         "sample_per_group": q_sample_per_group,
-        "ontology_closure_fixpoint": q_ontology_closure,
-        "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,
-        "dedup_simhash64_banded": DD.simhash64_near_dup_pairs,
-        "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
-        "ann_ivf_nprobe": q_ivf_nprobe,
-        "snapshot_rename_move_map": MAP.snapshot_mapping,
         "guard_fact_lookup": q_guard_lookup,
-        "cdc_merge_reverse": DL.cdc_merge_reverse,
-        "similar_turn_pairs": R.similar_turn_pairs,
-        "exact_stats": DL.exact_stats,
-        "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
-        "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
-        # rows-only: Lloyd-trained centroids are float means (no exact
-        # cross-engine hash); recall vs brute force asserted in pytest
-        "ann_ivf_trained": SIM.ivf_ann_trained,
-    }
-
-    delta_ops = {
-        "patch_hunks": DL.patch_hunks,
-        "conv_diff_stat": q_conv_diff_stat,
         "second_gen_pattern_facts": q_second_gen,
-        "skew_salt_plan": q_salt_plan,
+        "conv_diff_stat": q_conv_diff_stat,
         "fragment_sets": DL.fragment_sets,
-        "cdc_merge": DL.cdc_merge,
         "group_count_having": DL.group_count_having,
         "pivot_role_sink": DL.pivot_role_sink,
     }
-
-    training = {
+    # ---- head 3: round-3 new or behavior-changed operators
+    changed = {
+        "multimodal_real_decode": MM.multimodal_real_decode,  # new: real codec
+        "similar_turn_pairs": R.similar_turn_pairs,  # lossless gate (ADVICE)
+        "exact_stats": DL.exact_stats,  # 6dp rounding (ADVICE)
+        "snapshot_rename_move_map": MAP.snapshot_mapping,  # disjoint ids (ADVICE)
+        "dedup_minhash_lsh": DD.minhash_lsh_pairs,  # single shingle scan
+        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,  # same
+        "dedup_keep_list": DD.dedup_keep_list,
+        "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,
+        "ann_ivf": SIM.ivf_ann,  # K 8 -> 16
+        "ann_ivf_nprobe": q_ivf_nprobe,  # K 8 -> 16
+        # renamed from dedup_simhash (VERDICT r02 #8): 16-bit identical-sig
+        # clustering is a COARSE histogram, not a dedup — the scale path is
+        # dedup_simhash64_banded
+        "dedup_simhash_coarse": DD.simhash_dup_groups,
+    }
+    # ---- slack slots: unchanged but worth re-evidencing while room remains
+    semi_stale = {
+        "turn_ordering_invariant": q_turn_ordering,
+        "turn_text_identity": q_turn_text_identity,
+        "min_max_turns": q_min_max_turns,
+        "successor_facts": q_successor_facts,
+        "skew_salt_plan": q_salt_plan,
+        "cdc_merge": DL.cdc_merge,
+        "cdc_merge_reverse": DL.cdc_merge_reverse,
+        "patch_hunks": DL.patch_hunks,
+        "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
+    }
+    # ---- tail shadow (beyond the ~50 cap): code-unchanged AND r2-green
+    # (or rows-only by design); rotated back into the head next round
+    shadow = {
         "lang_id_heuristic": TS.lang_id,
         "quality_score": TS.quality_score,
         "token_count": TS.token_count,
         "length_histogram": TS.length_histogram,
         "doc_fingerprint": TS.doc_fingerprint,
         "dedup_exact": DD.exact_dedup,
-        "dedup_minhash_lsh": DD.minhash_lsh_pairs,
-        "dedup_keep_list": DD.dedup_keep_list,
-        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,
-        "dedup_simhash": DD.simhash_dup_groups,
+        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
+        "dedup_simhash64_banded": DD.simhash64_near_dup_pairs,
         "ann_brute_force_topk": SIM.brute_force_topk,
         "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
-        "ann_ivf": SIM.ivf_ann,
-        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
         "multimodal_features": MM.multimodal_features,
         "multimodal_frame_sample": MM.frame_sample,
+        "ontology_closure_fixpoint": q_ontology_closure,
+        "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
+        "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
+        # rows-only: Lloyd-trained centroids are float means (no exact
+        # cross-engine hash); recall floor asserted in pytest (clustered)
+        "ann_ivf_trained": SIM.ivf_ann_trained,
     }
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -303,35 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wrapped.__name__ = getattr(fn, "__name__", "query")
         return wrapped
 
-    rel = {
-        "pricing_summary": R.pricing_summary,
-        "join_chain_revenue": R.join_chain_revenue,
-        "broadcast_derived_key_join": R.broadcast_derived_key_join,
-        "conditional_predicate_join": R.conditional_predicate_join,
-        "anti_join_unmatched": R.anti_join_unmatched,
-        "semi_join_existing": R.semi_join_existing,
-        "theta_join_next_turn": R.theta_join_next_turn,
-        "range_containment_suppression": R.range_containment_suppression,
-        "union_alternative_keys": R.union_alternative_keys,
-        "except_unclassified_turns": R.except_unclassified_turns,
-        "running_window_total": R.running_window_total,
-        "sessionize_events": R.sessionize_events,
-        "scalar_function_battery": R.scalar_function_battery,
-        "ancestor_paths": R.ancestor_paths,
-        "token_explode_counts": R.token_explode_counts,
-    }
-    pipeline = {
-        "pipeline_agg_per_sink": q_pipeline_agg,
-        "streaming_pipeline_agg": q_streaming_pipeline_agg,
-        "parse_route_facts": q_parse_facts,
-        "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
-        "enrich_tool_ontology": q_enriched_facts,
-        "route_dead_letter": q_dead_letter,
-        "turn_ordering_invariant": q_turn_ordering,
-        "turn_text_identity": q_turn_text_identity,
-        "successor_facts": q_successor_facts,
-    }
-    all_queries = priority | pipeline | delta_ops | training | rel
+    all_queries = rel | pipeline | changed | semi_stale | shadow
     return {name: wrap(fn) for name, fn in all_queries.items()}
 
 
@@ -385,7 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": OT.minhash_lsh_pairs_sql(),
         "dedup_keep_list": OT.dedup_keep_list_sql(),
         "dedup_ngram_jaccard": OT.ngram_jaccard_sql(),
-        "dedup_simhash": OT.simhash_dup_groups_sql(),
+        "dedup_simhash_coarse": OT.simhash_dup_groups_sql(),
+        "multimodal_real_decode": OT.multimodal_real_decode_sql(),
         "ann_brute_force_topk": OT.brute_force_topk_sql(),
         "ann_lsh_bucketed": OT.lsh_bucketed_ann_sql(),
         "ann_ivf": OT.ivf_ann_sql(),

@@ -94,13 +94,14 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(corpus: DataFrame) -> DataFrame:
+def minhash_signatures(corpus: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """K min-hash values per doc: h_i = min(md5(i || ':' || shingle)).
 
     md5-as-hash-family keeps both engines bit-identical (hex-string min
     is a total order both sides); partial min aggregation runs map-side.
+    Pass ``shingles`` to reuse an already-materialized shingle stream.
     """
-    sh = corpus_shingles(corpus)
+    sh = corpus_shingles(corpus) if shingles is None else shingles
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(N_MINHASHES)
@@ -118,8 +119,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_verified_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """The LSH pipeline over an arbitrary (doc_id, text) corpus."""
-    sigs = minhash_signatures(corpus)
+    """The LSH pipeline over an arbitrary (doc_id, text) corpus.
+
+    The shingle stream is materialized ONCE (localCheckpoint) and shared
+    by the minhash pass and the Jaccard verify — at 100 TB the shingle
+    explode is the dominant shuffle and round 2 ran it twice per query
+    (VERDICT r02 flagged this as the dedup_minhash_lsh 1.8x regression)."""
+    shingles = corpus_shingles(corpus).localCheckpoint(eager=True)
+    sigs = minhash_signatures(corpus, shingles=shingles)
     rows_per_band = N_MINHASHES // N_BANDS
     band_cols = []
     for b in range(N_BANDS):
@@ -141,13 +148,15 @@ def lsh_verified_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    jac = ngram_jaccard(corpus, cands)
+    jac = ngram_jaccard(corpus, cands, shingles=shingles)
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+def ngram_jaccard(
+    corpus: DataFrame, pairs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
-    sh = corpus_shingles(corpus).distinct()
+    sh = (corpus_shingles(corpus) if shingles is None else shingles).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -178,14 +187,14 @@ def ngram_jaccard_all_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min shingle hash) block — the winnowing-bucket join. Output pairs with
     jaccard >= 0.3."""
     corpus = dedup_corpus(spark, sf_dir)
-    sh = corpus_shingles(corpus)
+    sh = corpus_shingles(corpus).localCheckpoint(eager=True)  # one explode pass
     fp = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp"))
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
     cands = (
         a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
     )
-    return ngram_jaccard(corpus, cands).filter(F.col("jaccard") >= 0.3)
+    return ngram_jaccard(corpus, cands, shingles=sh).filter(F.col("jaccard") >= 0.3)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str, n_bits: int = 16) -> DataFrame:

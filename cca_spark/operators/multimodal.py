@@ -2,12 +2,21 @@
 
 Image/audio/video payloads are ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas UDFs over ``mapInPandas``. The decode libraries (PIL/ffmpeg/...)
-are NOT in this container, so the actual codec step is STUBBED: a
-deterministic fake derives features from the raw bytes (so the Spark-side
-plumbing — binary schema, Arrow transfer of bytes into pandas, batch
-shapes, partitioning — is fully real and oracle-tested), and the real
-decode path raises NotImplementedError behind ``real_decode=True``.
+pandas UDFs over ``mapInPandas``.
+
+Two decode paths:
+
+- ``real_decode=False``: a deterministic fake derives features from raw
+  bytes — exercises the plumbing (binary schema, Arrow transfer, batch
+  shapes) without any codec.
+- ``real_decode=True`` (round 3): a REAL header-level decoder — it walks
+  PNG chunks (verifying each CRC32) to the IHDR and RIFF/WAVE chunks to
+  ``fmt ``, recovering width/height/bit-depth/channels/sample-rate from
+  the actual binary layouts. Full-frame pixel/audio decoding (PIL/pyav)
+  is still out of container scope, but the container parsing is genuine:
+  the synthetic corpus encodes real PNG/WAV files whose parameters derive
+  from doc_id, so the DuckDB oracle can state the EXPECTED features with
+  arithmetic while Spark must earn them by parsing bytes.
 
 Reference analog: CCA treats source files as opaque blobs identified by
 content digest and parses them inside per-language plugins
@@ -66,22 +75,159 @@ def _fake_decode_features(pdf: pd.DataFrame) -> pd.DataFrame:
 def extract_features(binary_df: DataFrame, real_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary content (Arrow batches).
 
-    real_decode=True is the production path (image/audio libs) — stubbed
-    in this container."""
+    ``real_decode=True`` parses actual PNG/WAV container layouts
+    (schema ``REAL_FEATURE_SCHEMA``); False derives fake features from raw
+    bytes (schema ``FEATURE_SCHEMA``)."""
     if real_decode:
-        def fail(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            raise NotImplementedError(
-                "real decode requires image/audio codecs not present in this "
-                "container; deploy with PIL/pyav and swap _fake_decode_features"
-            )
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _real_decode_features(pdf)
 
-        return binary_df.mapInPandas(fail, schema=FEATURE_SCHEMA)
+        return binary_df.mapInPandas(run_real, schema=REAL_FEATURE_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _fake_decode_features(pdf)
 
     return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------ real codec (r3)
+
+REAL_FEATURE_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "bit_depth int, n_channels int, sample_rate int"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (PNG spec, table 11.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _encode_png(doc_id: int) -> bytes:
+    """A real (header-complete) PNG: signature + IHDR + IEND with correct
+    lengths and CRC32s; dimensions derived from doc_id."""
+    import struct
+    import zlib
+
+    w = doc_id % 640 + 1
+    h = (doc_id * 7) % 480 + 1
+    color_type = (0, 2, 6)[doc_id % 3]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def _encode_wav(doc_id: int) -> bytes:
+    """A real RIFF/WAVE file with a decoy LIST chunk BEFORE ``fmt `` so
+    decoders must walk chunks rather than assume fixed offsets."""
+    import struct
+
+    ch = doc_id % 3 + 1
+    sr = 8000 * (doc_id % 6 + 1)
+    bits = ((doc_id // 2) % 3 + 1) * 8
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * block, block, bits)
+    body = (
+        b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _decode_png(b: bytes) -> tuple[int, int, int, int]:
+    """Walk PNG chunks to IHDR, verifying every CRC32 on the way."""
+    import struct
+    import zlib
+
+    off = len(_PNG_SIG)
+    while off + 12 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, off)
+        tag = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, off + 8 + ln)
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"PNG {tag!r} chunk CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack_from(">IIBB", data, 0)
+            return w, h, depth, _PNG_CHANNELS[color]
+        off += 12 + ln
+    raise ValueError("PNG: no IHDR chunk")
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, int]:
+    """Walk RIFF chunks (word-aligned) to ``fmt ``."""
+    import struct
+
+    off = 12  # past RIFF<size>WAVE
+    while off + 8 <= len(b):
+        tag = b[off : off + 4]
+        (ln,) = struct.unpack_from("<I", b, off + 4)
+        if tag == b"fmt ":
+            _codec, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", b, off + 8)
+            return bits, ch, sr
+        off += 8 + ln + (ln & 1)
+    raise ValueError("WAV: no fmt chunk")
+
+
+def _real_decode_features(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+        b = bytes(blob)
+        if b[: len(_PNG_SIG)] == _PNG_SIG:
+            w, h, depth, ch = _decode_png(b)
+            rows.append((int(doc_id), "png", w, h, depth, ch, None))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            bits, ch, sr = _decode_wav(b)
+            rows.append((int(doc_id), "wav", None, None, bits, ch, sr))
+        else:
+            rows.append((int(doc_id), "unknown", None, None, None, None, None))
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "fmt", "width", "height", "bit_depth", "n_channels", "sample_rate",
+        ],
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    for c in ("width", "height", "bit_depth", "n_channels", "sample_rate"):
+        out[c] = out[c].astype("Int32")
+    return out
+
+
+def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content binary): even doc_id -> PNG, odd -> WAV, parameters
+    derived from doc_id (see the encoders). A separate Arrow pass from the
+    decoder, so real binary bytes cross an executor boundary."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content": [
+                        _encode_png(i) if i % 2 == 0 else _encode_wav(i) for i in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(enc, schema="doc_id long, content binary")
+
+
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-codec query: encode -> shuffle-free Arrow decode -> typed
+    features; the oracle recomputes the expected features arithmetically."""
+    return extract_features(media_corpus(spark, sf_dir), real_decode=True)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,7 +33,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cca_spark.rules import RULES, Rule
+from cca_spark.rules import RULES, Rule, sig_fn
+
+# Bank entry: (rule, compiled pattern, derived-significance fn or None).
+# Compiled once per task; the sig fn is generated from the declarative
+# SigDerive spec so all evaluation paths share one definition (rules.py).
+BankEntry = tuple[Rule, re.Pattern, object]
+
+
+def compile_bank() -> list[BankEntry]:
+    return [(r, re.compile(r.pattern), sig_fn(r)) for r in RULES]
 
 FACT_SCHEMA = (
     "entity_id string, conv_id string, turn_idx int, role string, "
@@ -78,9 +87,7 @@ SLIM_FACT_COLUMNS = [
 ]
 
 
-def _extract_batch_slim(
-    pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]
-) -> pd.DataFrame:
+def _extract_batch_slim(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
     """Slim kernel: one output row per match, meta columns only — no span
     arithmetic, no value extraction, no entity_id concat. Same candidate
     discipline as the full kernel (vectorized anchor + tool-scope masks);
@@ -92,24 +99,31 @@ def _extract_batch_slim(
     texts_s = pdf["text"].fillna("")
     tools_s = pdf["tool"]
     texts = texts_s.tolist()
-    hits: list[tuple[int, int]] = []  # (row, rule)
-    for j, (rule, cre) in enumerate(bank):
+    hits: list[tuple[int, int, int]] = []  # (row, rule, significance)
+    for j, (rule, cre, sfn) in enumerate(bank):
         mask = texts_s.str.contains(rule.anchor, regex=False)
         if rule.tool_scope is not None:
             mask &= tools_s == rule.tool_scope
         finditer = cre.finditer
-        for i in np.nonzero(mask.to_numpy())[0]:
-            for _ in finditer(texts[i]):
-                hits.append((i, j))
+        base = rule.significance
+        if sfn is None:
+            for i in np.nonzero(mask.to_numpy())[0]:
+                for _ in finditer(texts[i]):
+                    hits.append((i, j, base))
+        else:
+            for i in np.nonzero(mask.to_numpy())[0]:
+                for m in finditer(texts[i]):
+                    hits.append((i, j, sfn(m)))
 
     if hits:
         ix = np.fromiter((h[0] for h in hits), dtype=np.int64, count=len(hits))
         rj = np.fromiter((h[1] for h in hits), dtype=np.int64, count=len(hits))
+        sig = np.fromiter((h[2] for h in hits), dtype=np.int32, count=len(hits))
     else:
         ix = rj = np.empty(0, dtype=np.int64)
-    rule_ids = np.array([r.rule_id for r, _ in bank], dtype=object)
-    sinks = np.array([r.sink for r, _ in bank], dtype=object)
-    sigs = np.array([r.significance for r, _ in bank], dtype=np.int32)
+        sig = np.empty(0, dtype=np.int32)
+    rule_ids = np.array([r.rule_id for r, _, _ in bank], dtype=object)
+    sinks = np.array([r.sink for r, _, _ in bank], dtype=object)
     res = pd.DataFrame(
         {
             "conv_id": pdf["conv_id"].to_numpy()[ix],
@@ -119,7 +133,7 @@ def _extract_batch_slim(
             "ts": pdf["ts"].to_numpy()[ix],
             "rule_id": rule_ids[rj],
             "sink": sinks[rj],
-            "significance": sigs[rj],
+            "significance": sig,
         }
     )
     res["ts"] = pd.to_datetime(res["ts"])
@@ -133,9 +147,7 @@ PARTIAL_AGG_SCHEMA = (
 )
 
 
-def _extract_batch_partials(
-    pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]
-) -> pd.DataFrame:
+def _extract_batch_partials(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
     """Map-side combine THROUGH the Arrow boundary: emit per-batch partial
     counts keyed by (conv_id, tool, date, sink) instead of one row per
     fact. Spark's partial HashAggregate cannot reach inside a mapInPandas,
@@ -151,7 +163,7 @@ def _extract_batch_partials(
     tools_s = pdf["tool"]
     texts = texts_s.tolist()
     hits: list[tuple[int, int]] = []
-    for j, (rule, cre) in enumerate(bank):
+    for j, (rule, cre, _sfn) in enumerate(bank):
         mask = texts_s.str.contains(rule.anchor, regex=False)
         if rule.tool_scope is not None:
             mask &= tools_s == rule.tool_scope
@@ -164,7 +176,7 @@ def _extract_batch_partials(
         rj = np.fromiter((h[1] for h in hits), dtype=np.int64, count=len(hits))
     else:
         ix = rj = np.empty(0, dtype=np.int64)
-    sinks = np.array([r.sink for r, _ in bank], dtype=object)
+    sinks = np.array([r.sink for r, _, _ in bank], dtype=object)
     facts = pd.DataFrame(
         {
             "conv_id": pdf["conv_id"].to_numpy()[ix],
@@ -191,14 +203,14 @@ def parse_fact_partials(transcripts: DataFrame) -> DataFrame:
     """Per-batch partial fact counts (see _extract_batch_partials)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bank = [(r, re.compile(r.pattern)) for r in RULES]
+        bank = compile_bank()
         for pdf in batches:
             yield _extract_batch_partials(pdf, bank)
 
     return transcripts.mapInPandas(run, schema=PARTIAL_AGG_SCHEMA)
 
 
-def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd.DataFrame:
+def _extract_batch(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
     """Apply the compiled bank to one Arrow batch; emit one row per match.
 
     Hot-loop discipline (measured, not guessed — see git history):
@@ -221,16 +233,25 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd
     texts_s = pdf["text"].fillna("")
     tools_s = pdf["tool"]  # per-tool sub-bank dispatch (rules.py)
     texts = texts_s.tolist()
-    hits: list[tuple[int, int, int, int, str]] = []  # (row, rule, start, end, value)
-    for j, (rule, cre) in enumerate(bank):
+    # (row, rule, start, end, value, significance)
+    hits: list[tuple[int, int, int, int, str, int]] = []
+    for j, (rule, cre, sfn) in enumerate(bank):
         mask = texts_s.str.contains(rule.anchor, regex=False)
         if rule.tool_scope is not None:
             mask &= tools_s == rule.tool_scope
         finditer = cre.finditer
+        base = rule.significance
         for i in np.nonzero(mask.to_numpy())[0]:
             for m in finditer(texts[i]):
                 hits.append(
-                    (i, j, m.start(), m.end(), m.group(1) if m.groups() else m.group(0))
+                    (
+                        i,
+                        j,
+                        m.start(),
+                        m.end(),
+                        m.group(1) if m.groups() else m.group(0),
+                        base if sfn is None else sfn(m),
+                    )
                 )
 
     if hits:
@@ -238,9 +259,8 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd
         rj = np.fromiter((h[1] for h in hits), dtype=np.int64, count=len(hits))
     else:
         ix = rj = np.empty(0, dtype=np.int64)
-    rule_ids = np.array([r.rule_id for r, _ in bank], dtype=object)
-    sinks = np.array([r.sink for r, _ in bank], dtype=object)
-    sigs = np.array([r.significance for r, _ in bank], dtype=np.int32)
+    rule_ids = np.array([r.rule_id for r, _, _ in bank], dtype=object)
+    sinks = np.array([r.sink for r, _, _ in bank], dtype=object)
 
     res = pd.DataFrame(
         {
@@ -251,7 +271,9 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[tuple[Rule, re.Pattern]]) -> pd
             "ts": pdf["ts"].to_numpy()[ix],
             "rule_id": rule_ids[rj],
             "sink": sinks[rj],
-            "significance": sigs[rj],
+            "significance": np.fromiter(
+                (h[5] for h in hits), dtype=np.int32, count=len(hits)
+            ),
             "span_start": np.fromiter(
                 (h[2] for h in hits), dtype=np.int32, count=len(hits)
             ),
@@ -293,7 +315,7 @@ def parse_facts(
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # compile once per task (reference compiles its rule bank once
             # per language engine instance, java_change.ml:788-793)
-            bank = [(r, re.compile(r.pattern)) for r in RULES]
+            bank = compile_bank()
             for pdf in batches:
                 yield kernel(pdf, bank)
 
@@ -351,6 +373,34 @@ def _parse_facts_sql(transcripts: DataFrame) -> DataFrame:
             if value is None
             else value.when(F.col("r.rule_id") == r.rule_id, branch)
         )
+    # derived significance (rules.SigDerive): re-extract the compared
+    # group(s) from the SHORT match string and apply the rule's CASE —
+    # generated from the same spec as the pandas kernel and the oracle
+    sig = None
+    for r in RULES:
+        if r.derive is None:
+            continue
+        d = r.derive
+        lhs = F.regexp_extract(F.col("m0"), r.pattern, d.lhs_group).try_cast("int")
+        rhs = (
+            F.lit(d.rhs_const)
+            if d.rhs_group is None
+            else F.regexp_extract(F.col("m0"), r.pattern, d.rhs_group).try_cast("int")
+        )
+        cond = {
+            ">=": lhs >= rhs,
+            ">": lhs > rhs,
+            "=": lhs == rhs,
+            "<=": lhs <= rhs,
+            "<": lhs < rhs,
+        }[d.op]
+        branch = F.when(cond, F.lit(d.sig_true)).otherwise(F.lit(r.significance))
+        sig = (
+            F.when(F.col("r.rule_id") == r.rule_id, branch)
+            if sig is None
+            else sig.when(F.col("r.rule_id") == r.rule_id, branch)
+        )
+    sig = F.col("r.significance") if sig is None else sig.otherwise(F.col("r.significance"))
     start = F.instr(F.col("text"), F.col("m0")) - F.lit(1)
     end = start + F.length("m0")
     return (
@@ -373,7 +423,7 @@ def _parse_facts_sql(transcripts: DataFrame) -> DataFrame:
             "ts",
             F.col("r.rule_id").alias("rule_id"),
             F.col("r.sink").alias("sink"),
-            F.col("r.significance").alias("significance"),
+            sig.cast("int").alias("significance"),
             start.cast("int").alias("span_start"),
             end.cast("int").alias("span_end"),
             value.alias("value"),

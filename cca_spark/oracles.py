@@ -18,7 +18,7 @@ from cca_spark.ontology import (
     role_ontology_values_sql,
     tool_ontology_values_sql,
 )
-from cca_spark.rules import RULES
+from cca_spark.rules import RULES, sig_case_sql
 from cca_spark.transcripts import duckdb_transcripts_sql
 
 
@@ -40,6 +40,9 @@ def facts_sql_body() -> str:
         # per-tool sub-bank scope (rules.py Rule.tool_scope): identical
         # predicate in the pandas kernel, the Spark SQL strategy, and here
         scope = f" AND tool = '{r.tool_scope}'" if r.tool_scope else ""
+        # significance: static literal, or the rule's value-comparing CASE
+        # generated from the shared SigDerive spec (rules.sig_case_sql)
+        sig = sig_case_sql(r, lambda g, _p=pat: f"regexp_extract(text, '{_p}', {g})")
         parts.append(
             f"""
   SELECT
@@ -50,7 +53,7 @@ def facts_sql_body() -> str:
     conv_id, turn_idx, role, tool, ts,
     '{r.rule_id}' AS rule_id,
     '{r.sink}' AS sink,
-    {r.significance} AS significance,
+    {sig} AS significance,
     cast(strpos(text, {full}) - 1 AS int) AS span_start,
     cast(strpos(text, {full}) - 1 + length({full}) AS int) AS span_end,
     regexp_extract(text, '{pat}', 1) AS value

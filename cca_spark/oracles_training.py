@@ -308,6 +308,26 @@ FROM documents
 """
 
 
+def multimodal_real_decode_sql() -> str:
+    """Expected features of the synthetic PNG/WAV corpus, stated
+    ARITHMETICALLY from the encoder parameterization (multimodal.py
+    ``_encode_png``/``_encode_wav``): Spark must recover these by actually
+    parsing the container bytes (chunk walks + CRC32 verification)."""
+    return """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+  CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 640 + 1 AS int) END AS width,
+  CASE WHEN doc_id % 2 = 0 THEN cast((doc_id * 7) % 480 + 1 AS int) END AS height,
+  CASE WHEN doc_id % 2 = 0 THEN cast(8 AS int)
+       ELSE cast(((doc_id // 2) % 3 + 1) * 8 AS int) END AS bit_depth,
+  CASE WHEN doc_id % 2 = 0
+       THEN cast(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS int)
+       ELSE cast(doc_id % 3 + 1 AS int) END AS n_channels,
+  CASE WHEN doc_id % 2 = 1 THEN cast(8000 * (doc_id % 6 + 1) AS int) END AS sample_rate
+FROM documents
+"""
+
+
 def frame_sample_sql(stride: int = 64) -> str:
     return f"""
 SELECT doc_id, cast(frame_idx AS int) AS frame_idx,

@@ -28,12 +28,45 @@ Invariants every rule must hold (pinned by tests/test_rules_unit.py):
 - every match contains ``anchor`` verbatim (the cheap literal prefilter);
 - at most ONE match per rule per generated turn (lets the SQL strategy and
   the DuckDB oracle recover spans via first-occurrence ``instr``/``strpos``);
-- at least one capture group (group 1 is the routed ``value``).
+- at least one capture group (group 1 is the routed ``value``);
+- a ``derive`` spec may only reference capture groups the pattern has, and
+  all its significance outcomes stay within 1-4.
 """
 
 from __future__ import annotations
 
+import operator as _operator
 from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SigDerive:
+    """VALUE-COMPARING significance (reference: rules whose class is
+    derived by comparing captured values through the modifier lattice —
+    accessibility increased vs decreased,
+    /root/reference/src/ast/analyzing/langs/java/java_change.ml:519-782).
+
+    sig = ``sig_true`` when ``int(group lhs_group) <op> rhs`` else the
+    rule's static ``significance`` (the base). ``rhs`` is either a
+    constant or ANOTHER captured group (two-capture comparison). The spec
+    is declarative so all three evaluation paths — pandas kernel, Spark
+    SQL strategy, DuckDB oracle — are GENERATED from this one definition
+    (``sig_fn`` / ``sig_case_sql`` below) and cannot drift."""
+
+    lhs_group: int
+    op: str  # '>=', '>', '=', '<=', '<'
+    sig_true: int
+    rhs_const: int | None = None
+    rhs_group: int | None = None
+
+
+_OPS = {
+    ">=": _operator.ge,
+    ">": _operator.gt,
+    "=": _operator.eq,
+    "<=": _operator.le,
+    "<": _operator.lt,
+}
 
 
 @dataclass(frozen=True)
@@ -41,9 +74,50 @@ class Rule:
     rule_id: str
     sink: str
     pattern: str  # RE2-and-Python-re compatible
-    significance: int  # 1-4, reference change_base.ml:72-78
+    significance: int  # 1-4, reference change_base.ml:72-78 (base when derived)
     anchor: str  # literal substring every match contains — cheap prefilter
     tool_scope: str | None = None  # per-tool sub-bank (None = any tool)
+    derive: SigDerive | None = None  # value-comparing significance
+
+
+def sig_fn(rule: Rule):
+    """Python evaluator of a rule's derived significance for the pandas
+    kernels: ``fn(match) -> int``. None for static rules (callers use the
+    constant). Non-numeric captures fall back to the base significance —
+    the same NULL-comparison semantics as the SQL CASE below."""
+    if rule.derive is None:
+        return None
+    d, base = rule.derive, rule.significance
+    cmp = _OPS[d.op]
+
+    def fn(m) -> int:
+        try:
+            lhs = int(m.group(d.lhs_group))
+            rhs = d.rhs_const if d.rhs_group is None else int(m.group(d.rhs_group))
+        except (TypeError, ValueError):
+            return base
+        return d.sig_true if cmp(lhs, rhs) else base
+
+    return fn
+
+
+def sig_case_sql(rule: Rule, extract) -> str:
+    """Dialect-shared (Spark SQL ∩ DuckDB) significance expression.
+    ``extract(g)`` renders SQL extracting capture group ``g`` of the
+    rule's pattern as text. NULL comparisons fall through to ELSE,
+    matching the Python fallback in ``sig_fn``."""
+    if rule.derive is None:
+        return str(rule.significance)
+    d = rule.derive
+    rhs = (
+        str(d.rhs_const)
+        if d.rhs_group is None
+        else f"try_cast({extract(d.rhs_group)} AS int)"
+    )
+    return (
+        f"CASE WHEN try_cast({extract(d.lhs_group)} AS int) {d.op} {rhs} "
+        f"THEN {d.sig_true} ELSE {rule.significance} END"
+    )
 
 
 RULES: list[Rule] = [
@@ -301,6 +375,232 @@ RULES: list[Rule] = [
         2,
         "WROTE bytes=",
         tool_scope=None,  # emitted by both write_file and edit turns
+    ),
+    # ---------------------------------------------- value-comparing rules
+    # (round 3) significance DERIVED from captured values — the reference's
+    # modifier-lattice rules compare old/new captured values to decide the
+    # change class (java_change.ml:519-782); here the analog compares
+    # captured numerics against thresholds or OTHER captured groups.
+    Rule(
+        "r_exit_severity",
+        "exec_audit",
+        r"exit code (\d+)",
+        2,
+        "exit code ",
+        tool_scope="bash",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=2, sig_true=4),
+    ),
+    Rule(
+        # TWO-CAPTURE comparison: final retry (n == budget) escalates
+        "r_retry_final",
+        "session_meta",
+        r"retry (\d)/(\d) scheduled",
+        1,
+        "retry ",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_group=2, sig_true=3),
+    ),
+    Rule(
+        # exit code vs retry count in one span: failing at/after the last
+        # scheduled retry is an audit-significant event
+        "r_exit_retry_combo",
+        "exec_audit",
+        r"exit code (\d+)\nretry (\d)/3 scheduled",
+        2,
+        "exit code ",
+        tool_scope="bash",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_group=2, sig_true=4),
+    ),
+    Rule(
+        "r_render_slow",
+        "session_meta",
+        r"render (\d+)ms",
+        1,
+        "render ",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=500, sig_true=3),
+    ),
+    Rule(
+        "r_write_large",
+        "exec_audit",
+        r"WROTE bytes=(\d+)",
+        1,
+        "WROTE bytes=",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=2048, sig_true=3),
+    ),
+    Rule(
+        "r_rows_empty",
+        "tool_invocation",
+        r"OK rows=(\d+)",
+        1,
+        "OK rows=",
+        derive=SigDerive(lhs_group=1, op="=", rhs_const=0, sig_true=2),
+    ),
+    Rule(
+        "r_priority_urgent",
+        "user_signal",
+        r"priority=p(\d)",
+        1,
+        "priority=p",
+        derive=SigDerive(lhs_group=1, op="<=", rhs_const=1, sig_true=3),
+    ),
+    Rule(
+        "r_http_server_err",
+        "error_signature",
+        r"ERROR (\d\d\d): upstream",
+        2,
+        "ERROR ",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=502, sig_true=3),
+    ),
+    Rule(
+        "r_bad_value_zero",
+        "error_signature",
+        r"bad value (\d+)",
+        2,
+        "bad value ",
+        derive=SigDerive(lhs_group=1, op="=", rhs_const=0, sig_true=3),
+    ),
+    Rule(
+        "r_deep_line_ref",
+        "error_signature",
+        r"line (\d+), in",
+        1,
+        "line ",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=100, sig_true=2),
+    ),
+    Rule(
+        "r_q_heavy",
+        "tool_invocation",
+        r'"q": (\d+)\}',
+        1,
+        '"q": ',
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=50, sig_true=2),
+    ),
+    Rule(
+        "r_item_backlog",
+        "user_signal",
+        r"check item (\d+) and",
+        1,
+        "check item ",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=500, sig_true=2),
+    ),
+    Rule(
+        "r_doc_page_deep",
+        "user_signal",
+        r"docs\.example\.com/p(\d+)",
+        1,
+        "docs.example.com/p",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=30, sig_true=2),
+    ),
+    Rule(
+        "r_x_assign_large",
+        "code_span",
+        r"x = (\d+)",
+        1,
+        "x = ",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=25, sig_true=2),
+    ),
+    Rule(
+        "r_turn_depth",
+        "session_meta",
+        r"turn (\d+) \[",
+        1,
+        "turn ",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=50, sig_true=2),
+    ),
+    Rule(
+        "r_file_index_high",
+        "tool_invocation",
+        r'"path": "f_(\d+)\.txt"',
+        1,
+        '"path": "f_',
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=250, sig_true=2),
+    ),
+    Rule(
+        "r_user_id_wide",
+        "session_meta",
+        r"session start for user (\d+)",
+        1,
+        "session start for user ",
+        derive=SigDerive(lhs_group=1, op=">=", rhs_const=500, sig_true=2),
+    ),
+    # ------------------------------------------- round-3 static additions
+    Rule(
+        "r_func_ctx",
+        "error_signature",
+        r", in (\w+)",
+        1,
+        ", in ",
+    ),
+    Rule(
+        "r_mystery_tool",
+        "exec_audit",
+        r"name=(mystery_tool)",
+        4,
+        "mystery_tool",
+        tool_scope="mystery_tool",
+    ),
+    Rule(
+        "r_fix_preamble",
+        "code_span",
+        r"Here is a (fix):",
+        1,
+        "Here is a ",
+    ),
+    Rule(
+        "r_done_marker",
+        "code_span",
+        r"\n(Done)\.",
+        1,
+        "Done",
+    ),
+    Rule(
+        "r_exc_message",
+        "error_signature",
+        r"ValueError: (bad value \d+)",
+        3,
+        "ValueError: ",
+    ),
+    Rule(
+        "r_locale_lang",
+        "session_meta",
+        r"locale=([a-z][a-z])-",
+        1,
+        "locale=",
+    ),
+    Rule(
+        "r_see_details",
+        "user_signal",
+        r"see https://[\w./-]+ for (details)",
+        1,
+        "see https://",
+    ),
+    Rule(
+        "r_code_lang_python",
+        "code_span",
+        r"```(python)\n",
+        2,
+        "```",
+    ),
+    Rule(
+        "r_args_path_obj",
+        "tool_invocation",
+        r'args=(\{"path": "[\w./]+"\})',
+        2,
+        '{"path": "',
+    ),
+    Rule(
+        "r_write_file_path",
+        "exec_audit",
+        r'name=write_file args=\{"path": "([\w./]+)"\}',
+        2,
+        "name=write_file",
+        tool_scope="write_file",
+    ),
+    Rule(
+        "r_traceback_file",
+        "error_signature",
+        r'File "([\w./]+)", line \d+, in \w+',
+        2,
+        'File "',
     ),
 ]
 

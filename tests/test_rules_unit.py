@@ -81,6 +81,69 @@ def test_rules_have_distinct_ids_and_valid_sinks():
         re.compile(r.pattern)  # must compile
 
 
+def test_derive_specs_are_well_formed():
+    """Value-comparing rules (SigDerive): referenced groups must exist in
+    the pattern, ops must be known, and both significance outcomes must be
+    in the 1-4 range — and the Python evaluator must agree with a hand
+    evaluation on the sample corpus."""
+    from cca_spark.rules import _OPS, sig_fn
+
+    n_derived = 0
+    for r in RULES:
+        if r.derive is None:
+            assert sig_fn(r) is None
+            continue
+        n_derived += 1
+        d = r.derive
+        cre = re.compile(r.pattern)
+        assert d.op in _OPS, f"{r.rule_id}: unknown op {d.op!r}"
+        assert 1 <= d.sig_true <= 4
+        assert 1 <= d.lhs_group <= cre.groups, f"{r.rule_id}: lhs_group out of range"
+        assert (d.rhs_const is None) != (d.rhs_group is None), (
+            f"{r.rule_id}: exactly one of rhs_const/rhs_group required"
+        )
+        if d.rhs_group is not None:
+            assert 1 <= d.rhs_group <= cre.groups, f"{r.rule_id}: rhs_group out of range"
+        fn = sig_fn(r)
+        for text in SAMPLE_TEXTS:
+            for m in cre.finditer(text):
+                lhs = int(m.group(d.lhs_group))
+                rhs = d.rhs_const if d.rhs_group is None else int(m.group(d.rhs_group))
+                expect = d.sig_true if _OPS[d.op](lhs, rhs) else r.significance
+                assert fn(m) == expect, f"{r.rule_id}: sig_fn mismatch on {m.group(0)!r}"
+    assert n_derived >= 15, "value-comparing sub-bank unexpectedly shrank"
+
+
+def test_at_most_one_match_per_rule_per_generated_turn():
+    """The span-recovery trick in the SQL strategy and the DuckDB oracle
+    (first-occurrence strpos + single regexp_extract) is only sound if no
+    rule matches twice in one generated turn — pin it against the real
+    derived corpus, not just the hand samples."""
+    import duckdb
+
+    from cca_spark.transcripts import duckdb_transcripts_sql
+
+    texts = [
+        row[0]
+        for row in duckdb.sql(
+            f"SELECT text FROM ({duckdb_transcripts_sql('/root/testdata/sf0.001')})"
+        ).fetchall()
+    ]
+    for r in RULES:
+        cre = re.compile(r.pattern)
+        for t in texts:
+            if r.anchor not in t:
+                continue
+            n = sum(1 for _ in cre.finditer(t))
+            assert n <= 1, f"{r.rule_id}: {n} matches in generated turn {t!r}"
+
+
+def test_bank_size_floor():
+    """Reference parity target: the Java bank alone has 59 rules
+    (java_change.ml:519-782); this bank must not silently shrink below it."""
+    assert len(RULES) >= 59, f"bank has {len(RULES)} rules"
+
+
 def test_patterns_have_no_lookaround_or_backrefs():
     """Patterns must stay in the shared Python-re ∩ RE2 subset so the
     DuckDB oracle evaluates identical semantics."""
