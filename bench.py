@@ -73,6 +73,14 @@ def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
     def bench(name: str, thunk) -> None:
         dt, _ = _time(thunk)
         timings[name] = round(dt, 3)
+        # release dropped localCheckpoint blocks between measurements:
+        # ContextCleaner frees them on (weak-ref) GC, which otherwise lands
+        # mid-next-bench — measured up to 2.6x inflation of the fanout
+        # write while the range-containment fact stream was still resident
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
 
     # headline: full pipeline, pandas-UDF parse. Best-of-N steady-state:
     # single-shot walls on this shared sandbox vary ±20% (page-cache state,
@@ -145,13 +153,20 @@ def _run_secondary(bench, spark, sf_dir, transcripts) -> None:
     from cca_spark.operators.route import write_sinks
 
     out_dir = tempfile.mkdtemp(prefix="cca_bench_sinks_")
+    warm_dir = tempfile.mkdtemp(prefix="cca_bench_sinks_warm_")
     try:
+        # steady-state discipline (same as the headline): the FIRST write
+        # through a fresh JVM pays parquet/shuffle JIT — measured 46.9s
+        # cold vs 20.6s steady on the identical job. Warm the write path
+        # on a corpus slice, then time the full write.
+        write_sinks(routed_facts(spark, transcripts.limit(200_000)), warm_dir)
         bench(
             "sink_fanout_write",
             lambda: write_sinks(routed_facts(spark, transcripts), out_dir),
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
 
 def main() -> None:

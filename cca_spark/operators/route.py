@@ -44,11 +44,12 @@ def salted_repartition(df: DataFrame, n_salts: int = 16) -> DataFrame:
     Slim fact streams (no entity_id) salt on the stable natural key
     (conv_id, turn_idx, rule_id) — equally deterministic.
     """
-    salt_src = (
-        F.xxhash64("entity_id")
-        if "entity_id" in df.columns
-        else F.xxhash64("conv_id", "turn_idx", "rule_id")
-    )
+    if "entity_id" in df.columns:
+        salt_src = F.xxhash64("entity_id")
+    elif "rule_id" in df.columns:
+        salt_src = F.xxhash64("conv_id", "turn_idx", "rule_id")
+    else:  # raw transcripts: the stable natural key is (conv_id, turn_idx)
+        salt_src = F.xxhash64("conv_id", "turn_idx")
     return (
         df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
         .repartition(F.col("conv_id"), F.col("_salt"))

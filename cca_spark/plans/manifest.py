@@ -65,18 +65,24 @@ def run_with_resume(
     out_dir: str,
     max_partitions: int | None = None,
     parse_strategy: str = "pandas",
+    transcripts: DataFrame | None = None,
 ) -> dict:
     """Process unmanifested date-buckets; return run metrics.
 
     ``max_partitions`` caps work per invocation (used by tests to simulate
     a crashed/partial run; in production it bounds a backfill wave).
+    ``transcripts`` overrides the sf_dir derivation — used to resume over a
+    STORED corpus (the bench-scale kill/resume evidence in BENCH.md reads
+    the materialized 19.2M-turn table, as production reads Iceberg).
     """
     from cca_spark.plans.pipeline import routed_facts
     from cca_spark.transcripts import load_transcripts
 
     t0 = time.time()
     run_id = uuid.uuid4().hex[:12]
-    transcripts = load_transcripts(spark, sf_dir).withColumn(
+    if transcripts is None:
+        transcripts = load_transcripts(spark, sf_dir)
+    transcripts = transcripts.withColumn(
         "date_bucket_in", F.col("ts").cast("date").cast("string")
     )
 
