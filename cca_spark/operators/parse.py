@@ -44,6 +44,30 @@ BankEntry = tuple[Rule, re.Pattern, object]
 def compile_bank() -> list[BankEntry]:
     return [(r, re.compile(r.pattern), sig_fn(r)) for r in RULES]
 
+
+def _candidate_masks(texts_s, tools_s, bank: list[BankEntry]) -> list:
+    """Per-rule candidate masks with SHARED anchor/scope scans: several
+    rules reuse an anchor (three rules anchor on \\`\\`\\`, two on
+    'exit code ', ...), so the vectorized contains() runs once per DISTINCT
+    anchor per batch, not once per rule (62 rules -> ~52 scans)."""
+    anchor_masks: dict[str, object] = {}
+    scope_masks: dict[str, object] = {}
+    out = []
+    for rule, _cre, _sfn in bank:
+        am = anchor_masks.get(rule.anchor)
+        if am is None:
+            am = texts_s.str.contains(rule.anchor, regex=False)
+            anchor_masks[rule.anchor] = am
+        if rule.tool_scope is None:
+            out.append(am)
+        else:
+            sm = scope_masks.get(rule.tool_scope)
+            if sm is None:
+                sm = tools_s == rule.tool_scope
+                scope_masks[rule.tool_scope] = sm
+            out.append(am & sm)
+    return out
+
 FACT_SCHEMA = (
     "entity_id string, conv_id string, turn_idx int, role string, "
     "tool string, ts timestamp_ntz, rule_id string, sink string, "
@@ -99,11 +123,10 @@ def _extract_batch_slim(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFram
     texts_s = pdf["text"].fillna("")
     tools_s = pdf["tool"]
     texts = texts_s.tolist()
+    masks = _candidate_masks(texts_s, tools_s, bank)
     hits: list[tuple[int, int, int]] = []  # (row, rule, significance)
     for j, (rule, cre, sfn) in enumerate(bank):
-        mask = texts_s.str.contains(rule.anchor, regex=False)
-        if rule.tool_scope is not None:
-            mask &= tools_s == rule.tool_scope
+        mask = masks[j]
         finditer = cre.finditer
         base = rule.significance
         if sfn is None:
@@ -162,13 +185,11 @@ def _extract_batch_partials(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.Data
     texts_s = pdf["text"].fillna("")
     tools_s = pdf["tool"]
     texts = texts_s.tolist()
+    masks = _candidate_masks(texts_s, tools_s, bank)
     hits: list[tuple[int, int]] = []
     for j, (rule, cre, _sfn) in enumerate(bank):
-        mask = texts_s.str.contains(rule.anchor, regex=False)
-        if rule.tool_scope is not None:
-            mask &= tools_s == rule.tool_scope
         finditer = cre.finditer
-        for i in np.nonzero(mask.to_numpy())[0]:
+        for i in np.nonzero(masks[j].to_numpy())[0]:
             for _ in finditer(texts[i]):
                 hits.append((i, j))
     if hits:
@@ -233,15 +254,13 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
     texts_s = pdf["text"].fillna("")
     tools_s = pdf["tool"]  # per-tool sub-bank dispatch (rules.py)
     texts = texts_s.tolist()
+    masks = _candidate_masks(texts_s, tools_s, bank)
     # (row, rule, start, end, value, significance)
     hits: list[tuple[int, int, int, int, str, int]] = []
     for j, (rule, cre, sfn) in enumerate(bank):
-        mask = texts_s.str.contains(rule.anchor, regex=False)
-        if rule.tool_scope is not None:
-            mask &= tools_s == rule.tool_scope
         finditer = cre.finditer
         base = rule.significance
-        for i in np.nonzero(mask.to_numpy())[0]:
+        for i in np.nonzero(masks[j].to_numpy())[0]:
             for m in finditer(texts[i]):
                 hits.append(
                     (
@@ -345,6 +364,12 @@ def _parse_facts_sql(transcripts: DataFrame) -> DataFrame:
     re-extracted from the short match string, not the full text.
     """
     def _matches(r: Rule):
+        # NOTE: no contains()-anchor prefilter here, deliberately — A/B
+        # measured it a pessimization for this strategy (21.2s vs 18.1s at
+        # 1.6M turns): java.util.regex already fast-scans for the literal
+        # prefix, so the extra CASE+contains only adds work. The anchor
+        # prefilter pays off in the pandas kernel, where it moves the
+        # candidate scan from Python bytecode into C.
         ms = F.regexp_extract_all(F.col("text"), F.lit(r.pattern), 0)
         if r.tool_scope is not None:
             # per-tool sub-bank: scoped rules emit nothing off-scope

@@ -227,7 +227,7 @@ def except_unclassified_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     find_change_patterns.py:2097-2127; the reference likewise excludes
     low-significance Slow rules from "used", change_base.ml:951-956).
 
-    With the full 25-rule bank every turn matches at least a metadata rule,
+    With the full 62-rule bank every turn matches at least a metadata rule,
     so "unclassified" = no fact of significance >= 2 — the anti join keys
     on the (conv_id, turn_idx) prefilter of significant facts."""
     from cca_spark.plans.pipeline import routed_facts

@@ -35,7 +35,9 @@ def route_facts(enriched: DataFrame) -> DataFrame:
     )
 
 
-def salted_repartition(df: DataFrame, n_salts: int = 16) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, n_salts: int = 16, num_partitions: int | None = None
+) -> DataFrame:
     """Deterministic salt from the entity key (NOT rand() — set equality
     across cluster sizes requires every row to land deterministically).
 
@@ -50,11 +52,13 @@ def salted_repartition(df: DataFrame, n_salts: int = 16) -> DataFrame:
         salt_src = F.xxhash64("conv_id", "turn_idx", "rule_id")
     else:  # raw transcripts: the stable natural key is (conv_id, turn_idx)
         salt_src = F.xxhash64("conv_id", "turn_idx")
-    return (
-        df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
-        .repartition(F.col("conv_id"), F.col("_salt"))
-        .drop("_salt")
+    salted = df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
+    parts = (  # explicit width pins the layout against AQE re-coalescing
+        salted.repartition(num_partitions, F.col("conv_id"), F.col("_salt"))
+        if num_partitions
+        else salted.repartition(F.col("conv_id"), F.col("_salt"))
     )
+    return parts.drop("_salt")
 
 
 def write_sinks(

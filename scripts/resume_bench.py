@@ -55,9 +55,7 @@ def main() -> None:
         n_distinct = manifest.select("date_bucket").distinct().count()
         facts_committed = read_facts(spark, out_dir).count()
         manifest_sum = manifest.agg(F.sum("n_facts")).collect()[0][0]
-        print(
-            json.dumps(
-                {
+        report = {
                     "metric": "resume_reprocessed_partitions",
                     "n_turns": n_turns,
                     "replicas": replicas,
@@ -75,9 +73,11 @@ def main() -> None:
                     "facts_committed": facts_committed,
                     "manifest_fact_sum": manifest_sum,
                     "readback_equals_manifest": facts_committed == manifest_sum,
-                }
-            )
-        )
+        }
+        print(json.dumps(report))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "BENCH_resume.json"), "w") as f:
+            json.dump(report, f, indent=2)
         assert len(r2["processed"]) == n_distinct - len(r1["processed"])
         assert r3["processed"] == [] and r3["skipped"] == n_distinct
         assert facts_committed == manifest_sum

@@ -62,6 +62,72 @@ def run_at(cores: int, sf_dir: str, replicas: int) -> dict:
     return json.loads(line)
 
 
+def _extra_evidence_sections() -> str:
+    """Fold sibling evidence JSONs (resume/skew/IVF harnesses) into
+    BENCH.md so regenerating the scaling section never loses them."""
+    md = ""
+    resume = os.path.join(REPO, "BENCH_resume.json")
+    if os.path.exists(resume):
+        r = json.load(open(resume))
+        md += f"""
+## Kill/resume at bench scale (`scripts/resume_bench.py`, raw: `BENCH_resume.json`)
+
+Stored {r["n_turns"]:,}-turn corpus, 30 date-bucket partitions. Run 1 is
+capped at 20 partitions (simulated crash between data-write and the rest of
+the backfill); run 2 resumes; run 3 re-runs on a complete manifest.
+
+| run | partitions processed | partitions skipped | wall (s) |
+|---|---|---|---|
+| 1 (killed after 20) | {r["run1_processed"]} | {r["run1_skipped"]} | {r["run1_sec"]} |
+| 2 (resume) | {r["run2_processed"]} | {r["run2_skipped"]} | {r["run2_sec"]} |
+| 3 (no-op) | {r["run3_processed"]} | {r["run3_skipped"]} | {r["run3_sec"]} |
+
+Only the {r["run2_processed"]} unmanifested partitions reprocessed; the
+committed fact read-back equals the manifest's per-partition sums
+({r["facts_committed"]:,} rows, `readback_equals_manifest` = {r["readback_equals_manifest"]}).
+"""
+    skew = os.path.join(REPO, "BENCH_skew.json")
+    if os.path.exists(skew):
+        s = json.load(open(skew))
+        u, sa = s["unsalted"], s["salted"]
+        md += f"""
+## Hot-conversation skew vs salting (`scripts/skew_bench.py`, raw: `BENCH_skew.json`)
+
+{s["n_turns"]:,} turns with the replica hot conversations collapsed into ONE
+conv holding {s["hot_conv_turns"]:,} turns ({s["hot_share"]:.1%} of the corpus).
+Identical Arrow parse over both layouts:
+
+| layout | max part rows | p99 part rows | p50 part rows | parse wall (s) |
+|---|---|---|---|---|
+| repartition(conv_id), unsalted | {u["max_rows"]:,} | {u["p99_rows"]:,} | {u["p50_rows"]:,} | {u["parse_sec"]} |
+| salted_repartition (64 salts) | {sa["max_rows"]:,} | {sa["p99_rows"]:,} | {sa["p50_rows"]:,} | {sa["parse_sec"]} |
+
+Salting bounds the max task to ~p50 size (the hot conv spreads across 64
+tasks); unsalted, one task owns the whole hot conversation.
+"""
+    ivf = os.path.join(REPO, "BENCH_ivf.json")
+    if os.path.exists(ivf):
+        v = json.load(open(ivf))
+        c, i = v["clustered"], v["isotropic"]
+        md += f"""
+## IVF recall/nprobe curve (`scripts/ivf_recall_bench.py`, raw: `BENCH_ivf.json`)
+
+Trained (2 Lloyd iterations), K={v["k_centroids"]} centroids, vs exact
+brute-force top-3:
+
+| corpus | nprobe=1 | nprobe=2 | nprobe=4 |
+|---|---|---|---|
+| clustered (real-embedding-shaped) | {c["nprobe_1"]} | {c["nprobe_2"]} | {c["nprobe_4"]} |
+| isotropic (driver's random vectors) | {i["nprobe_1"]} | {i["nprobe_2"]} | {i["nprobe_4"]} |
+
+The production floor (recall >= 0.9 at nprobe <= 4) is pinned in pytest on
+the clustered corpus; on isotropic random vectors no sublinear ANN
+meaningfully beats the probed-fraction baseline (curse of dimensionality) —
+reported, not hidden.
+"""
+    return md
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -137,6 +203,7 @@ corpus identical for both levels.
 
 Raw JSON: see `BENCH_scaling.json`.
 """
+    md += _extra_evidence_sections()
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
     with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:

@@ -76,8 +76,12 @@ def main() -> None:
         parse_facts(df, slim=True).count()
         return round(time.time() - t0, 1)
 
-    unsalted = corpus.repartition(F.col("conv_id"))
-    salted = salted_repartition(corpus, n_salts=64)
+    # explicit width on BOTH layouts: AQE otherwise coalesces the
+    # conv-keyed exchange to a handful of fat partitions and the
+    # comparison measures coalescing, not the hot-conversation skew
+    width = 4 * cpus
+    unsalted = corpus.repartition(width, F.col("conv_id"))
+    salted = salted_repartition(corpus, n_salts=64, num_partitions=width)
 
     out = {
         "metric": "hot_conv_skew_salting",
@@ -92,6 +96,9 @@ def main() -> None:
     out["unsalted"]["parse_sec"] = parse_wall(unsalted)
     out["salted"]["parse_sec"] = parse_wall(salted)
     print(json.dumps(out))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_skew.json"), "w") as f:
+        json.dump(out, f, indent=2)
     spark.stop()
 
 
