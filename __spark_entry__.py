@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # ---- head 3: round-3 new or behavior-changed operators
     changed = {
+        "tree_delta_apply": DL.tree_delta_apply,  # new: path-addressed D2/D3
         "multimodal_real_decode": MM.multimodal_real_decode,  # new: real codec
         "similar_turn_pairs": R.similar_turn_pairs,  # lossless gate (ADVICE)
         "exact_stats": DL.exact_stats,  # 6dp rounding (ADVICE)
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
     sf = "/root/testdata/sf0.01"
     fact_cols = ", ".join(FACT_OUT_COLS)
     new_r2 = {
+        "tree_delta_apply": OR.tree_delta_apply_sql(),
         "dedup_keep_list_transitive": OT.dedup_keep_list_transitive_sql(),
         "dedup_simhash64_banded": OT.simhash64_near_dup_pairs_sql(),
         "lsh_bucket_histogram": OT.lsh_bucket_histogram_sql(),

@@ -37,9 +37,12 @@ def facts_sql_body() -> str:
     for r in RULES:
         pat = r.pattern.replace("'", "''")
         full = f"regexp_extract(text, '{pat}', 0)"
-        # per-tool sub-bank scope (rules.py Rule.tool_scope): identical
-        # predicate in the pandas kernel, the Spark SQL strategy, and here
+        # per-tool and per-role sub-bank scopes (rules.py Rule.tool_scope /
+        # Rule.role_scope): identical predicates in the pandas kernel, the
+        # Spark SQL strategy, and here
         scope = f" AND tool = '{r.tool_scope}'" if r.tool_scope else ""
+        if r.role_scope:
+            scope += f" AND role = '{r.role_scope}'"
         # significance: static literal, or the rule's value-comparing CASE
         # generated from the shared SigDerive spec (rules.sig_case_sql)
         sig = sig_case_sql(r, lambda g, _p=pat: f"regexp_extract(text, '{_p}', {g})")

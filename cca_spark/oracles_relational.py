@@ -400,6 +400,59 @@ FROM l2 WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.digest = l2.digest AND l1.rn
 """
 
 
+def tree_delta_apply_sql() -> str:
+    """Mirror of operators/delta.py tree_nodes/tree_delta/tree_delta_apply:
+    same node derivation, same delta table, same delete -> move -> update
+    -> insert join semantics."""
+    return """
+WITH docs AS (SELECT doc_id FROM documents),
+nodes AS (
+  SELECT doc_id, '/' || cast(b AS varchar) AS path,
+         'branch-' || cast(b AS varchar) AS value
+  FROM docs, (SELECT unnest(generate_series(0, 3)) AS b)
+  UNION ALL
+  SELECT doc_id, '/' || cast(i % 4 AS varchar) || '/' || cast(i AS varchar),
+         'v' || cast((doc_id + i) % 100 AS varchar)
+  FROM docs, (SELECT unnest(generate_series(0, 9)) AS i)
+),
+delta AS (
+  SELECT doc_id, 'delete_subtree' AS op, '/1' AS path, cast(NULL AS varchar) AS arg
+  FROM docs WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 'move_subtree', '/0', '/9' FROM docs WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'update', '/2/6', 'upd-' || cast(doc_id AS varchar)
+  FROM docs WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'insert', '/3/99', 'ins-' || cast(doc_id AS varchar)
+  FROM docs WHERE doc_id % 5 = 0
+),
+survivors AS (
+  SELECT n.* FROM nodes n WHERE NOT EXISTS (
+    SELECT 1 FROM delta d WHERE d.op = 'delete_subtree' AND d.doc_id = n.doc_id
+      AND (n.path = d.path OR starts_with(n.path, d.path || '/')))
+),
+moved AS (
+  SELECT s.doc_id,
+    CASE WHEN m.src IS NOT NULL
+         THEN m.dst || substr(s.path, length(m.src) + 1) ELSE s.path END AS path,
+    s.value
+  FROM survivors s LEFT JOIN (
+    SELECT doc_id, path AS src, arg AS dst FROM delta WHERE op = 'move_subtree') m
+    ON s.doc_id = m.doc_id AND (s.path = m.src OR starts_with(s.path, m.src || '/'))
+),
+updated AS (
+  SELECT mv.doc_id, mv.path, coalesce(u.arg, mv.value) AS value
+  FROM moved mv LEFT JOIN (
+    SELECT doc_id, path, arg FROM delta WHERE op = 'update') u
+    ON mv.doc_id = u.doc_id AND mv.path = u.path
+)
+SELECT doc_id, path, value FROM updated
+UNION ALL
+SELECT doc_id, path, arg AS value FROM delta WHERE op = 'insert'
+"""
+
+
 def skew_salt_plan_sql(sf: str, target: int = 500) -> str:
     return oracles.with_transcripts(
         sf,

@@ -78,6 +78,15 @@ class Rule:
     anchor: str  # literal substring every match contains — cheap prefilter
     tool_scope: str | None = None  # per-tool sub-bank (None = any tool)
     derive: SigDerive | None = None  # value-comparing significance
+    # per-ROLE sub-bank — the direct analog of the reference's per-language
+    # banks (the Java bank parses only Java files, diffastcore.ml:42-48):
+    # a rule for tool-output spans (tracebacks, exit codes) runs only on
+    # tool turns, assistant-message rules only on assistant turns. This is
+    # rule SEMANTICS (applied identically in the pandas kernel, the Spark
+    # SQL strategy, and the DuckDB oracle), and it is also the bank's main
+    # compute prune: each turn is scanned by its role's sub-bank (~14
+    # rules avg), not all 62.
+    role_scope: str | None = None  # None = any role
 
 
 def sig_fn(rule: Rule):
@@ -602,6 +611,57 @@ RULES: list[Rule] = [
         2,
         'File "',
     ),
+]
+
+# Role sub-bank assignment (see Rule.role_scope). Kept as one table so
+# the mapping is auditable at a glance; rules absent here run on every
+# role (currently only the turn-header rules, whose spans occur in all
+# four roles' texts).
+_ROLE_SCOPES: dict[str, str] = {
+    # tool-output spans: TOOL_CALL lines, results, tracebacks, exit codes
+    **dict.fromkeys(
+        [
+            "r_tool_call", "r_args_json", "r_file_path_arg", "r_q_arg",
+            "r_tool_result_ok", "r_traceback", "r_exc_class", "r_file_line_ref",
+            "r_retry_sched", "r_bash_exec", "r_net_fetch", "r_fs_write",
+            "r_fs_edit", "r_search_q", "r_grep_q", "r_read_file_q",
+            "r_exit_code", "r_write_bytes", "r_exit_severity", "r_retry_final",
+            "r_exit_retry_combo", "r_write_large", "r_rows_empty",
+            "r_bad_value_zero", "r_deep_line_ref", "r_q_heavy",
+            "r_file_index_high", "r_func_ctx", "r_mystery_tool",
+            "r_exc_message", "r_args_path_obj", "r_write_file_path",
+            "r_traceback_file",
+        ],
+        "tool",
+    ),
+    # assistant-message spans: code fences, service errors, urls, renders
+    **dict.fromkeys(
+        [
+            "r_code_fence", "r_lang_tag", "r_print_stmt", "r_assignment",
+            "r_error_code", "r_http_5xx", "r_timeout_sig", "r_warn_line",
+            "r_url_ref", "r_render_ms", "r_render_slow", "r_http_server_err",
+            "r_x_assign_large", "r_doc_page_deep", "r_fix_preamble",
+            "r_done_marker", "r_see_details", "r_code_lang_python",
+        ],
+        "assistant",
+    ),
+    # user-request spans
+    **dict.fromkeys(
+        ["r_item_ref", "r_report_req", "r_priority", "r_item_backlog",
+         "r_priority_urgent"],
+        "user",
+    ),
+    # session/system spans
+    **dict.fromkeys(
+        ["r_session_start", "r_locale", "r_user_id_wide", "r_locale_lang"],
+        "system",
+    ),
+}
+
+import dataclasses as _dataclasses  # noqa: E402
+
+RULES = [
+    _dataclasses.replace(r, role_scope=_ROLE_SCOPES.get(r.rule_id)) for r in RULES
 ]
 
 SINKS = [

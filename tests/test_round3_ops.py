@@ -51,6 +51,52 @@ def test_wav_chunk_walk_past_decoy():
         assert sr == 8000 * (doc_id % 6 + 1)
 
 
+# ---------------------------------------------- path-addressed tree delta
+
+
+def test_tree_delta_apply_matches_oracle(spark, sf_dir):
+    from cca_spark.operators.delta import tree_delta_apply
+    from cca_spark.oracles_relational import tree_delta_apply_sql
+
+    assert_matches_oracle(
+        tree_delta_apply(spark, sf_dir), tree_delta_apply_sql(), min_rows=1000, sf_dir=sf_dir
+    )
+
+
+def test_tree_delta_untouched_docs_are_identity(spark, sf_dir):
+    """Docs with NO delta ops must come through the interpreter verbatim."""
+    from pyspark.sql import functions as F
+
+    from cca_spark.operators.delta import tree_delta_apply, tree_nodes
+
+    d = F.col("doc_id")
+    untouched = (d % 3 != 0) & (d % 4 != 0) & (d % 5 != 0) & (d % 7 != 0)
+    before = tree_nodes(spark, sf_dir).filter(untouched)
+    after = tree_delta_apply(spark, sf_dir).filter(untouched)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+    assert before.count() > 0
+
+
+def test_tree_delta_subtree_semantics(spark, sf_dir):
+    """Spot-check op semantics: deletes remove the whole /1 subtree, moves
+    rewrite the whole /0 subtree under /9, updates hit exactly /2/6."""
+    from pyspark.sql import functions as F
+
+    from cca_spark.operators.delta import tree_delta_apply
+
+    out = tree_delta_apply(spark, sf_dir)
+    d = F.col("doc_id")
+    assert out.filter((d % 4 == 0) & F.col("path").startswith("/1")).count() == 0
+    # moved docs: nothing left under /0, subtree intact under /9
+    assert out.filter((d % 7 == 0) & F.col("path").startswith("/0")).count() == 0
+    one_moved = out.filter((d % 7 == 0) & F.col("path").startswith("/9"))
+    n_moved_docs = out.filter(d % 7 == 0).select("doc_id").distinct().count()
+    assert one_moved.count() == 4 * n_moved_docs  # branch + leaves 0,4,8
+    upd = out.filter((d % 3 == 0) & (F.col("path") == "/2/6"))
+    assert upd.filter(~F.col("value").startswith("upd-")).count() == 0
+
+
 # -------------------------------------------- derived significance parity
 
 

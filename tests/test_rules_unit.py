@@ -114,6 +114,37 @@ def test_derive_specs_are_well_formed():
     assert n_derived >= 15, "value-comparing sub-bank unexpectedly shrank"
 
 
+def test_role_scope_values_valid():
+    for r in RULES:
+        assert r.role_scope in (None, "tool", "assistant", "user", "system"), r.rule_id
+
+
+def test_role_scoping_is_lossless_on_generated_corpus():
+    """Role sub-banks must be semantic scoping, not silent fact loss: on
+    the real derived corpus, every match a rule's pattern finds occurs on
+    a turn of the rule's scoped role (so the scoped bank emits exactly the
+    facts the unscoped bank would)."""
+    import duckdb
+
+    from cca_spark.transcripts import duckdb_transcripts_sql
+
+    rows = duckdb.sql(
+        f"SELECT role, tool, text FROM ({duckdb_transcripts_sql('/root/testdata/sf0.001')})"
+    ).fetchall()
+    for r in RULES:
+        if r.role_scope is None:
+            continue
+        cre = re.compile(r.pattern)
+        for role, tool, text in rows:
+            if r.tool_scope is not None and tool != r.tool_scope:
+                continue
+            if role != r.role_scope and r.anchor in text and cre.search(text):
+                raise AssertionError(
+                    f"{r.rule_id} (scope {r.role_scope}) would lose a match on a "
+                    f"{role} turn: {text!r}"
+                )
+
+
 def test_at_most_one_match_per_rule_per_generated_turn():
     """The span-recovery trick in the SQL strategy and the DuckDB oracle
     (first-occurrence strpos + single regexp_extract) is only sound if no
