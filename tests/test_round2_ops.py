@@ -112,7 +112,9 @@ def test_parse_handles_null_empty_huge_text(spark):
         ("c1", 1, "assistant", "", None, ts),
         ("c1", 2, "assistant", "```python\nx = 1\nprint(x)\n```" * 1, None, ts),
         ("c1", 3, "tool", "x" * 1_000_000, "bash", ts),
-        ("c2", 0, "user", "ERROR 1: a\nERROR 2: b", None, ts),  # multi-match
+        # multi-match probe on an ASSISTANT turn (r_error_code is
+        # assistant-scoped since the r3 role sub-banks)
+        ("c2", 0, "assistant", "ERROR 1: a\nERROR 2: b", None, ts),
     ]
     t = spark.createDataFrame(
         rows,
