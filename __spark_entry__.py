@@ -151,22 +151,17 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming variant of the flagship aggregate: the same
-    parse/enrich/route operators over a file-source readStream
-    (availableNow), aggregated after the stream drains. Must equal the
-    batch pipeline's oracle exactly — streaming/batch parity is the
-    correctness claim (SURVEY §2.12)."""
+def _staged_stream_input(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the transcripts as a file-stream source dir (idempotent).
+
+    The cache tag is keyed on the INPUT CONTENT (mtime+size of the events
+    parquet) AND the derivation version: a regenerated parquet at the same
+    path or an edited transcript template must invalidate the staged
+    stream source, never silently reuse it."""
     import hashlib
-    import uuid
 
-    from cca_spark.operators.aggregate import agg_per_sink
-    from cca_spark.streaming.pipeline import run_stream_to_memory
-    from cca_spark.transcripts import load_transcripts
+    from cca_spark.transcripts import TRANSCRIPTS_SQL, load_transcripts
 
-    # cache tag is keyed on the INPUT CONTENT (mtime+size of the events
-    # parquet), not just the path — a regenerated parquet at the same path
-    # must invalidate the staged stream source, never silently reuse it
     def _content_sig(path: str) -> str:
         sigs = []
         if os.path.isdir(path):
@@ -178,11 +173,7 @@ def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigs.append(f"{st.st_mtime_ns}:{st.st_size}")
         return ";".join(sigs)
 
-    from cca_spark.transcripts import TRANSCRIPTS_SQL
-
     events_path = os.path.join(sf_dir, "events.parquet")
-    # tag = input bytes AND derivation version: editing the transcript
-    # templates must invalidate the staged stream source too
     tag = hashlib.md5(
         f"{sf_dir}|{_content_sig(events_path)}|{TRANSCRIPTS_SQL}".encode()
     ).hexdigest()[:12]
@@ -191,9 +182,53 @@ def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_transcripts(spark, sf_dir).repartition(8).write.mode(
             "overwrite"
         ).parquet(input_dir)
+    return input_dir
+
+
+def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming variant of the flagship aggregate: the same
+    parse/enrich/route operators over a file-source readStream
+    (availableNow), aggregated after the stream drains. Must equal the
+    batch pipeline's oracle exactly — streaming/batch parity is the
+    correctness claim (SURVEY §2.12)."""
+    import uuid
+
+    from cca_spark.operators.aggregate import agg_per_sink
+    from cca_spark.streaming.pipeline import run_stream_to_memory
+
+    input_dir = _staged_stream_input(spark, sf_dir)
     qname = f"q_stream_{uuid.uuid4().hex[:8]}"
     routed = run_stream_to_memory(spark, input_dir, query_name=qname)
     return agg_per_sink(routed)
+
+
+def q_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARKED tumbling-window streaming aggregate, driven to
+    completion (availableNow): event-time 1-day windows per (sink, tool),
+    exact counts. The oracle is the equivalent batch day-bucket aggregate
+    — the watermark/window machinery must reproduce it bit-for-bit."""
+    import uuid
+
+    from cca_spark.streaming.pipeline import run_windowed_agg_to_memory
+
+    input_dir = _staged_stream_input(spark, sf_dir)
+    qname = f"q_stream_win_{uuid.uuid4().hex[:8]}"
+    return run_windowed_agg_to_memory(spark, input_dir, query_name=qname)
+
+
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    per-conversation running fact counter's FINAL state after the stream
+    drains must equal the batch per-conversation fact count. The memory
+    sink accumulates one update row per (conv, microbatch); the final
+    total is the max (counts are monotone)."""
+    import uuid
+
+    from cca_spark.streaming.pipeline import run_stateful_totals_to_memory
+
+    input_dir = _staged_stream_input(spark, sf_dir)
+    qname = f"q_stream_state_{uuid.uuid4().hex[:8]}"
+    return run_stateful_totals_to_memory(spark, input_dir, query_name=qname)
 
 
 def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed = {
         "tree_delta_apply": DL.tree_delta_apply,  # new: path-addressed D2/D3
         "multimodal_real_decode": MM.multimodal_real_decode,  # new: real codec
+        # new r3: watermark/window + custom-stateful streaming, both
+        # batch-parity-oracled (SURVEY §2.12)
+        "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
         "similar_turn_pairs": R.similar_turn_pairs,  # lossless gate (ADVICE)
         "exact_stats": DL.exact_stats,  # 6dp rounding (ADVICE)
         "snapshot_rename_move_map": MAP.snapshot_mapping,  # disjoint ids (ADVICE)
@@ -358,6 +397,16 @@ def oracle_sql() -> dict[str, str]:
     fact_cols = ", ".join(FACT_OUT_COLS)
     new_r2 = {
         "tree_delta_apply": OR.tree_delta_apply_sql(),
+        # streaming/batch parity: the watermarked windowed agg and the
+        # stateful running counter must reproduce the batch aggregates
+        "streaming_windowed_agg": oracles.with_routed(
+            sf,
+            "SELECT cast(ts AS date) AS day, sink, tool, count(*) AS n_rows "
+            "FROM routed GROUP BY 1, 2, 3",
+        ),
+        "streaming_stateful_totals": oracles.with_routed(
+            sf, "SELECT conv_id, count(*) AS n_facts FROM routed GROUP BY conv_id"
+        ),
         "dedup_keep_list_transitive": OT.dedup_keep_list_transitive_sql(),
         "dedup_simhash64_banded": OT.simhash64_near_dup_pairs_sql(),
         "lsh_bucket_histogram": OT.lsh_bucket_histogram_sql(),

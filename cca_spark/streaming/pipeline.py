@@ -106,3 +106,63 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_windowed_agg_exact(routed: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate with EXACT counts (the
+    oracle-checkable sibling of ``stream_agg_per_sink``, which uses
+    approx_count_distinct)."""
+    return (
+        routed.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+        .groupBy(F.window("ts_tz", "1 day").alias("day_window"), "sink", "tool")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def run_windowed_agg_to_memory(
+    spark: SparkSession, input_dir: str, query_name: str = "windowed_stream"
+) -> DataFrame:
+    """Watermarked windowed agg driven to completion. ``complete`` output
+    mode: availableNow ends the stream before the watermark would close
+    the final day windows, so append mode would withhold them — complete
+    emits every window's final value, which is exactly the batch-parity
+    claim."""
+    stream = stream_transcripts(spark, input_dir)
+    routed = stream_routed_facts(spark, stream)
+    agg = stream_windowed_agg_exact(routed)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT cast(day_window.start AS date) AS day, sink, tool, n_rows "
+        f"FROM {query_name}"
+    )
+
+
+def run_stateful_totals_to_memory(
+    spark: SparkSession, input_dir: str, query_name: str = "stateful_stream"
+) -> DataFrame:
+    """Drive the applyInPandasWithState running counter to completion; the
+    memory sink holds one update row per (conv, microbatch) — the final
+    per-conversation total is the max (running counts are monotone)."""
+    stream = stream_transcripts(spark, input_dir)
+    routed = stream_routed_facts(spark, stream)
+    totals = running_conv_state(routed)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT conv_id, max(n_facts_total) AS n_facts "
+        f"FROM {query_name} GROUP BY conv_id"
+    )

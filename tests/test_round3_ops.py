@@ -51,6 +51,43 @@ def test_wav_chunk_walk_past_decoy():
         assert sr == 8000 * (doc_id % 6 + 1)
 
 
+# ----------------------------------------------------- streaming (r3 new)
+
+
+def test_streaming_windowed_agg_matches_batch(spark, sf_dir):
+    """Watermarked tumbling-window streaming agg == batch day-bucket agg."""
+    import __spark_entry__ as E
+    from cca_spark import oracles
+
+    got = E.q_streaming_windowed_agg(spark, sf_dir)
+    assert_matches_oracle(
+        got,
+        oracles.with_routed(
+            sf_dir,
+            "SELECT cast(ts AS date) AS day, sink, tool, count(*) AS n_rows "
+            "FROM routed GROUP BY 1, 2, 3",
+        ),
+        min_rows=10,
+        sf_dir=sf_dir,
+    )
+
+
+def test_streaming_stateful_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState running counter's final state == batch count."""
+    import __spark_entry__ as E
+    from cca_spark import oracles
+
+    got = E.q_streaming_stateful_totals(spark, sf_dir)
+    assert_matches_oracle(
+        got,
+        oracles.with_routed(
+            sf_dir, "SELECT conv_id, count(*) AS n_facts FROM routed GROUP BY conv_id"
+        ),
+        min_rows=10,
+        sf_dir=sf_dir,
+    )
+
+
 # ---------------------------------------------- path-addressed tree delta
 
 
