@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-parity-oracled (SURVEY §2.12)
         "streaming_windowed_agg": q_streaming_windowed_agg,
         "streaming_stateful_totals": q_streaming_stateful_totals,
+        # new r3: retrieval scoring family (training-data indexing/search)
+        "tfidf_top_terms": TS.tfidf_top_terms,
+        "bm25_retrieval": TS.bm25_retrieval,
         "similar_turn_pairs": R.similar_turn_pairs,  # lossless gate (ADVICE)
         "exact_stats": DL.exact_stats,  # 6dp rounding (ADVICE)
         "snapshot_rename_move_map": MAP.snapshot_mapping,  # disjoint ids (ADVICE)
@@ -407,6 +410,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_totals": oracles.with_routed(
             sf, "SELECT conv_id, count(*) AS n_facts FROM routed GROUP BY conv_id"
         ),
+        "tfidf_top_terms": OT.tfidf_top_terms_sql(),
+        "bm25_retrieval": OT.bm25_retrieval_sql(),
         "dedup_keep_list_transitive": OT.dedup_keep_list_transitive_sql(),
         "dedup_simhash64_banded": OT.simhash64_near_dup_pairs_sql(),
         "lsh_bucket_histogram": OT.lsh_bucket_histogram_sql(),

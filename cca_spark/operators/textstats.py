@@ -128,3 +128,117 @@ def length_histogram(spark: SparkSession, sf_dir: str, bucket_width: int = 20) -
             "n_docs",
         )
     )
+
+
+# ------------------------------------------------ retrieval scoring (r3)
+
+BM25_QUERY_TERMS = ("join", "hash", "scan", "window", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """TF-IDF top-k terms per document — the standard corpus-indexing /
+    keyword-extraction operator of a training-data pipeline.
+
+    Relational shape for 10^12 docs: explode -> (doc, term) counts (one
+    shuffle, map-side partial), document frequencies are VOCABULARY-sized
+    (broadcast back), N arrives via a broadcast scalar — the corpus-sized
+    stream shuffles exactly once. Scores round to 6dp BEFORE ranking (repo
+    float discipline) with (score desc, token asc) deterministic ties."""
+    from pyspark.sql import Window
+
+    toks = _doc_tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = _read_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """BM25 document retrieval for a fixed term query — the ranking
+    operator behind corpus search / hard-negative mining.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)). Query-term stats are
+    tiny (broadcast); per-doc lengths aggregate once; the only
+    corpus-sized shuffle is the (doc, term) count."""
+    from pyspark.sql import Window
+
+    toks = _doc_tokens(spark, sf_dir)
+    qt = F.broadcast(
+        spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "token string")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    tf = toks.join(qt, "token").groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .select("token", "idf", "avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .withColumn(
+            # round per-term BEFORE the sum so both engines add identical
+            # 6dp values (the remaining cross-engine risk is summation
+            # order at ~1e-16, absorbed by the final 6dp round)
+            "term_score",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+        F.count("*").alias("n_matched_terms"),
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

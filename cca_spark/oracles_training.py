@@ -308,6 +308,70 @@ FROM documents
 """
 
 
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """Mirror of textstats.tfidf_top_terms: same tokenization, same 6dp
+    round BEFORE ranking, same (score desc, token asc) tie-break."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+    round(tf.tf * ln(cast(n_docs AS double) / cast(df AS double)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+)
+SELECT doc_id, token, tf, tfidf, cast(rank AS int) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def bm25_retrieval_sql(k: int = 20) -> str:
+    from cca_spark.operators.textstats import BM25_B, BM25_K1, BM25_QUERY_TERMS
+
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+toks_ne AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+qt(token) AS (VALUES {terms}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks_ne GROUP BY doc_id),
+stats AS (SELECT avg(cast(dl AS double)) AS avgdl, count(*) AS n_docs FROM dl),
+tf AS (
+  SELECT t.doc_id, t.token, count(*) AS tf FROM toks_ne t JOIN qt USING (token)
+  GROUP BY t.doc_id, t.token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+idf AS (
+  SELECT token, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM dfreq CROSS JOIN stats
+),
+per_term AS (
+  SELECT tf.doc_id,
+    round(idf.idf * (tf.tf * ({BM25_K1} + 1))
+      / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * cast(dl.dl AS double) / idf.avgdl)),
+      6) AS term_score
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, round(sum(term_score), 6) AS bm25, count(*) AS n_matched_terms
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_matched_terms, cast(rank AS int) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def multimodal_real_decode_sql() -> str:
     """Expected features of the synthetic PNG/WAV corpus, stated
     ARITHMETICALLY from the encoder parameterization (multimodal.py

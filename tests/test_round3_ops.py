@@ -51,6 +51,32 @@ def test_wav_chunk_walk_past_decoy():
         assert sr == 8000 * (doc_id % 6 + 1)
 
 
+# ---------------------------------------------- retrieval scoring (r3 new)
+
+
+def test_tfidf_matches_oracle(spark, sf_dir):
+    from cca_spark.operators.textstats import tfidf_top_terms
+    from cca_spark.oracles_training import tfidf_top_terms_sql
+
+    assert_matches_oracle(
+        tfidf_top_terms(spark, sf_dir), tfidf_top_terms_sql(), min_rows=100, sf_dir=sf_dir
+    )
+
+
+def test_bm25_matches_oracle_and_ranks_sensibly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cca_spark.operators.textstats import bm25_retrieval
+    from cca_spark.oracles_training import bm25_retrieval_sql
+
+    got = bm25_retrieval(spark, sf_dir)
+    assert_matches_oracle(got, bm25_retrieval_sql(), min_rows=5, sf_dir=sf_dir)
+    rows = got.orderBy("rank").collect()
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True), "rank must follow score desc"
+    assert all(r["n_matched_terms"] >= 1 for r in rows)
+
+
 # ----------------------------------------------------- streaming (r3 new)
 
 
