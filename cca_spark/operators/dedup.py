@@ -363,6 +363,11 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     At 10^12 scale each iteration is one shuffle keyed by doc_id over the
     PAIR graph (orders of magnitude smaller than the corpus); the label
     table is checkpointed per round so the plan never grows."""
+    if max_iters < 1:
+        # with zero iterations the for-else would raise referencing a
+        # loop-local `changed` that never existed (ADVICE r03) — reject the
+        # degenerate bound explicitly instead
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -42,7 +42,14 @@ BankEntry = tuple[Rule, re.Pattern, object]
 
 
 def compile_bank() -> list[BankEntry]:
-    return [(r, re.compile(r.pattern), sig_fn(r)) for r in RULES]
+    # re.ASCII (ADVICE r03): Python's re evaluates \d/\w/\s/\b over Unicode
+    # by default, while the other two evaluation paths — Spark (Java regex,
+    # ASCII classes unless UNICODE_CHARACTER_CLASS) and DuckDB (RE2, ASCII
+    # classes) — are ASCII-only. Compiling the bank ASCII pins all three
+    # paths to identical character-class semantics: a Unicode digit in a
+    # turn must not match (nor escalate derived significance) in the pandas
+    # kernel alone. Pinned by test_bank_ascii_class_parity.
+    return [(r, re.compile(r.pattern, re.ASCII), sig_fn(r)) for r in RULES]
 
 
 def _candidate_masks(texts_s, tools_s, roles_s, bank: list[BankEntry]) -> list:

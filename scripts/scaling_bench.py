@@ -174,15 +174,21 @@ def main() -> None:
         if i + 1 < args.rounds:
             time.sleep(args.cooldown)
 
+    # The HEADLINE number is the cross-round MEDIAN (ADVICE r03): keying
+    # the verdict to the single best round would let one favorable noise
+    # window decide MET/NOT MET. The best round is kept as supporting
+    # evidence only; displayed walls/throughputs come from the round whose
+    # efficiency is closest to the median (the representative round).
     best = max(rounds, key=lambda r: r["efficiency"])
     effs = sorted(r["efficiency"] for r in rounds)
     median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
     )
-    thr_lo = best["throughput_n"]
-    thr_hi = best["throughput_4n"]
+    rep = min(rounds, key=lambda r: abs(r["efficiency"] - median_eff))
+    thr_lo = rep["throughput_n"]
+    thr_hi = rep["throughput_4n"]
     speedup = thr_hi / thr_lo
-    efficiency = best["efficiency"]
+    efficiency = median_eff
 
     report = {
         "metric": "scaling_efficiency",
@@ -193,18 +199,19 @@ def main() -> None:
         "n_turns": lo["n_turns"],
         "throughput_n": thr_lo,
         "throughput_4n": thr_hi,
-        "pipeline_sec_n": best["pipeline_sec_n"],
-        "pipeline_sec_4n": best["pipeline_sec_4n"],
+        "pipeline_sec_n": rep["pipeline_sec_n"],
+        "pipeline_sec_4n": rep["pipeline_sec_4n"],
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
         "efficiency_rounds": [r["efficiency"] for r in rounds],
         "efficiency_median": median_eff,
+        "efficiency_best": best["efficiency"],
         "target": 0.8,
-        "meets_target": efficiency >= 0.8,
+        "meets_target": median_eff >= 0.8,
     }
     print(json.dumps(report))
-    lo = {**lo, "value": best["pipeline_sec_n"], "routed_turns_per_sec": thr_lo}
-    hi = {**hi, "value": best["pipeline_sec_4n"], "routed_turns_per_sec": thr_hi}
+    lo = {**lo, "value": rep["pipeline_sec_n"], "routed_turns_per_sec": thr_lo}
+    hi = {**hi, "value": rep["pipeline_sec_4n"], "routed_turns_per_sec": thr_hi}
 
     md = f"""# BENCH — throughput & scaling evidence
 
@@ -216,17 +223,24 @@ same input.
 
 ## Two-cluster-size run (same input: {args.sf_dir} × {args.replicas} replicas = {lo["n_turns"]:,} turns)
 
+**Scaling efficiency (median of paired rounds): {median_eff:.3f}** —
+target ≥ 0.8: {"MET" if median_eff >= 0.8 else "NOT MET"}. The median, not
+the best round, is the headline (a single favorable noise window must not
+decide the verdict); per-round values below are supporting evidence.
+
+Representative round (efficiency closest to the median):
+
 | parallelism | pipeline wall (s) | routed turns/sec |
 |---|---|---|
 | local[{args.n}] (N) | {lo["value"]} | {thr_lo:,.0f} |
 | local[{args.n4}] (4N) | {hi["value"]} | {thr_hi:,.0f} |
 
-**Speedup {speedup:.2f}× over 4× cores → scaling efficiency {efficiency:.3f}**
-(target ≥ 0.8: {"MET" if efficiency >= 0.8 else "NOT MET"}).
-All paired rounds (N leg and 4N leg measured back-to-back; this shared
-sandbox has minute-scale noise windows that hit the short 4N leg hardest —
-same 4N job measured 37.2s vs 46.9s in different windows):
-{", ".join(f"{r['efficiency']:.3f}" for r in rounds)} (median {median_eff:.3f}).
+Speedup {speedup:.2f}× over 4× cores → efficiency {rep["efficiency"]:.3f}
+in the representative round. All paired rounds (N leg and 4N leg measured
+back-to-back; this shared sandbox has minute-scale noise windows that hit
+the short 4N leg hardest — same 4N job measured 37.2s vs 46.9s in
+different windows):
+{", ".join(f"{r['efficiency']:.3f}" for r in rounds)} (median {median_eff:.3f}, best {best["efficiency"]:.3f}).
 
 **Why N=4 / 4N=16 on this 32-CPU host:** every Arrow-UDF task occupies
 ~2 CPU threads — a JVM task thread (parquet decode, Arrow encode,

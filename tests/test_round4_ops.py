@@ -1,0 +1,78 @@
+"""Round-4 additions: ASCII character-class parity across the three rule
+evaluation paths, fixpoint stress at pathological component diameter, and
+the payload-level multimodal decode."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def test_bank_ascii_class_parity():
+    """All three evaluation paths (pandas/Python re, Spark/Java regex,
+    DuckDB/RE2) must share ASCII character-class semantics (ADVICE r03):
+    every compiled bank pattern carries re.ASCII, and a Unicode digit
+    must NOT satisfy \\d in the Python kernel (it would match nowhere
+    else)."""
+    from cca_spark.operators.parse import compile_bank
+
+    bank = compile_bank()
+    assert bank, "empty bank"
+    for rule, cre, _sfn in bank:
+        assert cre.flags & re.ASCII, f"{rule.rule_id} compiled without re.ASCII"
+
+    exit_rules = [(r, cre) for r, cre, _ in bank if r.rule_id == "r_exit_severity"]
+    assert exit_rules, "r_exit_severity missing from bank"
+    _rule, cre = exit_rules[0]
+    assert cre.search("exit code 3"), "ASCII digit must still match"
+    # fullwidth '３' (U+FF13) and Arabic-Indic '٣' (U+0663) match \d under
+    # default Python re but not under Java regex or RE2 — with re.ASCII the
+    # pandas kernel agrees with the other engines and rejects both
+    assert cre.search("exit code ３") is None
+    assert cre.search("exit code ٣") is None
+
+
+def test_bank_ascii_sig_derivation_not_escalated():
+    """A Unicode digit in the significance-deriving capture must not match
+    at all (so it cannot escalate significance only in the pandas path)."""
+    from cca_spark.rules import RULES, sig_fn
+
+    rule = next(r for r in RULES if r.rule_id == "r_exit_severity")
+    cre = re.compile(rule.pattern, re.ASCII)
+    fn = sig_fn(rule)
+    m = cre.search("exit code 9")
+    assert fn(m) == rule.derive.sig_true  # ASCII digit >= 2 escalates
+    assert cre.search("exit code ９") is None  # fullwidth 9: no match
+
+
+def test_connected_min_labels_rejects_bad_max_iters(spark):
+    from cca_spark.operators.dedup import connected_min_labels
+
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="max_iters"):
+        connected_min_labels(pairs, max_iters=0)
+
+
+def _chain_pairs(spark, hops: int):
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(hops)], "doc_a long, doc_b long"
+    )
+
+
+def test_connected_min_labels_long_chain_raises(spark):
+    """A 30-hop path needs ~30 one-hop propagation rounds: the default
+    bound (20) must fail LOUDLY, never return unconverged labels
+    (VERDICT r03 stretch)."""
+    from cca_spark.operators.dedup import connected_min_labels
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_min_labels(_chain_pairs(spark, 30), max_iters=20)
+
+
+def test_connected_min_labels_long_chain_converges(spark):
+    from cca_spark.operators.dedup import connected_min_labels
+
+    labels = connected_min_labels(_chain_pairs(spark, 30), max_iters=40)
+    rows = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(31)}
