@@ -203,6 +203,235 @@ def _real_decode_features(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# ------------------------------------------------ payload decode (r4)
+#
+# Round 3 parsed container HEADERS (CRC-verified chunk walks); round 4
+# decodes PAYLOADS: PNG IDAT is genuinely zlib-inflated and per-scanline
+# unfiltered (filters 0=None, 1=Sub, 2=Up per the PNG spec §9), WAV PCM
+# frames are genuinely read as little-endian int16. The synthetic corpus
+# derives every sample value from doc_id with closed-form arithmetic, so
+# the DuckDB oracle can STATE the expected sums while Spark must EARN
+# them by inflating/unfiltering real bytes. Payload dims are kept small
+# (≤24×16 px) so the oracle's generate_series stays ~100k rows at sf0.01.
+
+PAYLOAD_SCHEMA = (
+    "doc_id long, fmt string, n_samples long, sample_sum long, "
+    "sample_sumsq long, mean_sample double, rms double"
+)
+
+# png payload dims: w = doc_id % 24 + 1, h = (doc_id*7) % 16 + 1
+_PAYLOAD_W_MOD, _PAYLOAD_H_MOD = 24, 16
+# wav payload: n = doc_id % 200 + 40 mono int16 samples,
+# v(i) = ((doc_id*131 + i*17) % 4096) - 2048
+_WAV_N_MOD, _WAV_N_BASE = 200, 40
+
+
+def _png_payload_params(doc_id: int) -> tuple[int, int, int, int]:
+    w = doc_id % _PAYLOAD_W_MOD + 1
+    h = (doc_id * 7) % _PAYLOAD_H_MOD + 1
+    color_type = (0, 2, 6)[doc_id % 3]
+    return w, h, color_type, _PNG_CHANNELS[color_type]
+
+
+def _encode_png_payload(doc_id: int) -> bytes:
+    """A complete real PNG: IHDR + one zlib-compressed IDAT whose raw
+    sample bytes follow raw[y][i] = (doc_id + y + i) % 256 (i indexes the
+    w*channels bytes of scanline y), filtered per-row with filter
+    y % 3 ∈ {None, Sub, Up} so decoders must implement real unfiltering."""
+    import struct
+    import zlib
+
+    w, h, color_type, ch = _png_payload_params(doc_id)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    stride = w * ch
+    raw_prev = [0] * stride
+    out = bytearray()
+    for y in range(h):
+        raw = [(doc_id + y + i) % 256 for i in range(stride)]
+        ftype = y % 3
+        out.append(ftype)
+        if ftype == 0:  # None
+            out.extend(raw)
+        elif ftype == 1:  # Sub: filt[i] = raw[i] - raw[i - bpp]
+            out.extend(
+                (raw[i] - (raw[i - ch] if i >= ch else 0)) % 256
+                for i in range(stride)
+            )
+        else:  # Up: filt[i] = raw[i] - prior[i]
+            out.extend((raw[i] - raw_prev[i]) % 256 for i in range(stride))
+        raw_prev = raw
+    idat = zlib.compress(bytes(out))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _encode_wav_payload(doc_id: int) -> bytes:
+    """A complete real mono 16-bit PCM WAV (decoy LIST chunk retained)
+    whose samples follow v(i) = ((doc_id*131 + i*17) % 4096) - 2048."""
+    import struct
+
+    n = doc_id % _WAV_N_MOD + _WAV_N_BASE
+    sr = 8000
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    pcm = b"".join(
+        struct.pack("<h", ((doc_id * 131 + i * 17) % 4096) - 2048) for i in range(n)
+    )
+    body = (
+        b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _decode_png_payload(b: bytes) -> tuple[int, int, int]:
+    """(n_samples, sum, sumsq) of the raw image samples: CRC-verified
+    chunk walk -> concatenated IDAT -> zlib inflate -> per-scanline
+    unfilter (None/Sub/Up)."""
+    import struct
+    import zlib
+
+    off = len(_PNG_SIG)
+    w = h = ch = None
+    idat = bytearray()
+    while off + 12 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, off)
+        tag = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, off + 8 + ln)
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"PNG {tag!r} chunk CRC mismatch")
+        if tag == b"IHDR":
+            w, h, _depth, color = struct.unpack_from(">IIBB", data, 0)
+            ch = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat.extend(data)
+        off += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG: missing IHDR or IDAT")
+    flat = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(flat) != h * (stride + 1):
+        raise ValueError("PNG: IDAT length != h * (stride + 1)")
+    total = sumsq = 0
+    raw_prev = [0] * stride
+    pos = 0
+    for _y in range(h):
+        ftype = flat[pos]
+        row = flat[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        if ftype == 0:
+            raw = list(row)
+        elif ftype == 1:
+            raw = []
+            for i, v in enumerate(row):
+                raw.append((v + (raw[i - ch] if i >= ch else 0)) % 256)
+        elif ftype == 2:
+            raw = [(v + raw_prev[i]) % 256 for i, v in enumerate(row)]
+        else:
+            raise ValueError(f"PNG: unsupported filter type {ftype}")
+        for v in raw:
+            total += v
+            sumsq += v * v
+        raw_prev = raw
+    return h * stride, total, sumsq
+
+
+def _decode_wav_payload(b: bytes) -> tuple[int, int, int]:
+    """(n_samples, sum, sumsq) of int16 PCM frames from the data chunk."""
+    import struct
+
+    off = 12
+    while off + 8 <= len(b):
+        tag = b[off : off + 4]
+        (ln,) = struct.unpack_from("<I", b, off + 4)
+        if tag == b"data":
+            n = ln // 2
+            samples = struct.unpack_from(f"<{n}h", b, off + 8)
+            return n, sum(samples), sum(v * v for v in samples)
+        off += 8 + ln + (ln & 1)
+    raise ValueError("WAV: no data chunk")
+
+
+def payload_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content binary): even doc_id -> full-payload PNG, odd ->
+    full-payload WAV; separate Arrow pass from the decoder so real bytes
+    cross an executor boundary (same shape as ``media_corpus``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content": [
+                        _encode_png_payload(i) if i % 2 == 0 else _encode_wav_payload(i)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(enc, schema="doc_id long, content binary")
+
+
+def _payload_decode_features(pdf: pd.DataFrame) -> pd.DataFrame:
+    import math
+
+    rows = []
+    for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+        b = bytes(blob)
+        if b[: len(_PNG_SIG)] == _PNG_SIG:
+            fmt, (n, s, sq) = "png", _decode_png_payload(b)
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            fmt, (n, s, sq) = "wav", _decode_wav_payload(b)
+        else:
+            raise ValueError("unknown container")
+        rows.append(
+            (
+                int(doc_id),
+                fmt,
+                n,
+                s,
+                sq,
+                round(s / n, 6),
+                round(math.sqrt(sq / n), 6),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "fmt", "n_samples", "sample_sum", "sample_sumsq",
+            "mean_sample", "rms",
+        ],
+    )
+    for c in ("doc_id", "n_samples", "sample_sum", "sample_sumsq"):
+        out[c] = out[c].astype("int64")
+    for c in ("mean_sample", "rms"):
+        out[c] = out[c].astype("float64")
+    return out
+
+
+def multimodal_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payload-level query: encode real containers -> Arrow decode
+    (zlib inflate + unfilter / PCM read) -> per-doc sample statistics the
+    oracle states arithmetically from the sample formulas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _payload_decode_features(pdf)
+
+    return payload_corpus(spark, sf_dir).mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
 def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, content binary): even doc_id -> PNG, odd -> WAV, parameters
     derived from doc_id (see the encoders). A separate Arrow pass from the

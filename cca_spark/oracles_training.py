@@ -392,6 +392,58 @@ FROM documents
 """
 
 
+def multimodal_payload_decode_sql() -> str:
+    """Expected payload statistics stated ARITHMETICALLY from the sample
+    formulas (multimodal.py ``_encode_png_payload``/``_encode_wav_payload``):
+    PNG raw[y][i] = (doc_id + y + i) % 256 over h × (w*channels) bytes,
+    WAV v(i) = ((doc_id*131 + i*17) % 4096) - 2048 over n samples. Spark
+    must earn these by zlib-inflating and unfiltering real IDAT bytes /
+    reading real PCM frames."""
+    return """
+WITH png AS (
+  SELECT doc_id,
+    (doc_id % 24 + 1)
+      * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS stride,
+    (doc_id * 7) % 16 + 1 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+png_samples AS (
+  SELECT doc_id, (doc_id + (j // stride) + (j % stride)) % 256 AS v
+  FROM (
+    SELECT doc_id, stride, unnest(generate_series(0, h * stride - 1)) AS j
+    FROM png
+  )
+),
+png_stats AS (
+  SELECT doc_id, count(*) AS n, cast(sum(v) AS bigint) AS s,
+    cast(sum(v * v) AS bigint) AS sq
+  FROM png_samples GROUP BY doc_id
+),
+wav AS (
+  SELECT doc_id, doc_id % 200 + 40 AS n FROM documents WHERE doc_id % 2 = 1
+),
+wav_samples AS (
+  SELECT doc_id, ((doc_id * 131 + i * 17) % 4096) - 2048 AS v
+  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM wav)
+),
+wav_stats AS (
+  SELECT doc_id, count(*) AS n, cast(sum(v) AS bigint) AS s,
+    cast(sum(v * v) AS bigint) AS sq
+  FROM wav_samples GROUP BY doc_id
+)
+SELECT doc_id, 'png' AS fmt, n AS n_samples, s AS sample_sum,
+  sq AS sample_sumsq,
+  round(s / cast(n AS double), 6) AS mean_sample,
+  round(sqrt(sq / cast(n AS double)), 6) AS rms
+FROM png_stats
+UNION ALL
+SELECT doc_id, 'wav', n, s, sq,
+  round(s / cast(n AS double), 6),
+  round(sqrt(sq / cast(n AS double)), 6)
+FROM wav_stats
+"""
+
+
 def frame_sample_sql(stride: int = 64) -> str:
     return f"""
 SELECT doc_id, cast(frame_idx AS int) AS frame_idx,

@@ -70,6 +70,72 @@ def test_connected_min_labels_long_chain_raises(spark):
         connected_min_labels(_chain_pairs(spark, 30), max_iters=20)
 
 
+def test_payload_decode_matches_oracle(spark, sf_dir):
+    from cca_spark.operators.multimodal import multimodal_payload_decode
+    from cca_spark.oracles_training import multimodal_payload_decode_sql
+    from tests.util import assert_matches_oracle
+
+    assert_matches_oracle(
+        multimodal_payload_decode(spark, sf_dir),
+        multimodal_payload_decode_sql(),
+        min_rows=10,
+        sf_dir=sf_dir,
+    )
+
+
+def test_png_payload_roundtrip_all_filters():
+    """The encoder emits filter types 0/1/2 across scanlines (y % 3); the
+    decoder must reconstruct the exact formula bytes through inflate +
+    unfilter for every color type."""
+    from cca_spark.operators.multimodal import (
+        _decode_png_payload,
+        _encode_png_payload,
+        _png_payload_params,
+    )
+
+    for doc_id in (0, 2, 4, 6, 38, 122, 334):  # covers all 3 color types, h >= 3
+        w, h, _ct, ch = _png_payload_params(doc_id)
+        n, s, sq = _decode_png_payload(_encode_png_payload(doc_id))
+        want = [
+            (doc_id + y + i) % 256 for y in range(h) for i in range(w * ch)
+        ]
+        assert n == h * w * ch
+        assert s == sum(want)
+        assert sq == sum(v * v for v in want)
+
+
+def test_png_payload_corruption_detected():
+    """A flipped IDAT byte must fail the CRC walk loudly, never produce
+    silently-wrong sample statistics."""
+    import pytest as _pytest
+
+    from cca_spark.operators.multimodal import (
+        _decode_png_payload,
+        _encode_png_payload,
+    )
+
+    b = bytearray(_encode_png_payload(40))
+    idat_off = b.index(b"IDAT")
+    b[idat_off + 10] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        _decode_png_payload(bytes(b))
+
+
+def test_wav_payload_roundtrip():
+    from cca_spark.operators.multimodal import (
+        _decode_wav_payload,
+        _encode_wav_payload,
+    )
+
+    for doc_id in (1, 3, 77, 199):
+        n, s, sq = _decode_wav_payload(_encode_wav_payload(doc_id))
+        want = [
+            ((doc_id * 131 + i * 17) % 4096) - 2048
+            for i in range(doc_id % 200 + 40)
+        ]
+        assert (n, s, sq) == (len(want), sum(want), sum(v * v for v in want))
+
+
 def test_connected_min_labels_long_chain_converges(spark):
     from cca_spark.operators.dedup import connected_min_labels
 
