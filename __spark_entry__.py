@@ -243,10 +243,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query whose code or inputs changed this round, plus anything
     without a fresh driver row, leads; only queries that are code-unchanged
     AND driver-green in the immediately preceding round absorb the tail
-    shadow. Round 3 head: the 15-query relational battery (r01-green only,
-    and except_unclassified_turns changed semantics after its row), every
-    routed-fact consumer (the rule bank grew 34 -> 62 with value-derived
-    significance), and the round-3 new/changed operators."""
+    shadow.
+
+    Round 4 head (re-derived this round):
+    (1) new/changed code — multimodal_payload_decode (new), bm25_retrieval
+        and tfidf_top_terms (single-explode / no-vocab-broadcast fixes);
+    (2) the 19 queries whose last driver row is r2 (shadowed by the r3
+        cap): 5 textstats, 4 dedup, 3 ANN, frame_sample, ontology closure,
+        skew plan, cdc pair, patch_hunks, + 3 rows-only;
+    (3) every routed-fact consumer — compile_bank() now applies re.ASCII
+        (ADVICE r03), which touches the pandas kernel all of these ride on
+        (results are byte-identical on the ASCII corpus; the fresh rows
+        prove it).
+    Slack then holds r3-green unchanged ops worth re-evidencing; the
+    shadow is exclusively r3-green, code-unchanged queries.
+
+    TRIMMED this round (VERDICT r03 #5 — genuine redundancy; each keeps a
+    pytest oracle in tests/test_round4_ops.py or test_pipeline_oracle.py):
+    ann_ivf (== ann_ivf_nprobe at nprobe=1), dedup_keep_list (subsumed by
+    the transitive variant), turn_text_identity (the north-rule invariant
+    pinned by test_per_turn_text_equality), multimodal_features (fake-codec
+    plumbing superseded by real+payload decode), lsh_bucket_histogram
+    (LSH diagnostics; the ANN itself stays), dedup_simhash_coarse (16-bit
+    histogram; the scale path dedup_simhash64_banded stays)."""
     from cca_spark.operators import dedup as DD
     from cca_spark.operators import delta as DL
     from cca_spark.operators import mapping as MAP
@@ -281,30 +300,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return SIM.ivf_ann_nprobe(spark, sf_dir, nprobe=2)
 
-    # ---- head 1: relational battery (r01-green only; semantics of
-    # except_unclassified_turns changed in r2 without a fresh driver row)
-    rel = {
-        "except_unclassified_turns": R.except_unclassified_turns,
-        "pricing_summary": R.pricing_summary,
-        "join_chain_revenue": R.join_chain_revenue,
-        "broadcast_derived_key_join": R.broadcast_derived_key_join,
-        "conditional_predicate_join": R.conditional_predicate_join,
-        "anti_join_unmatched": R.anti_join_unmatched,
-        "semi_join_existing": R.semi_join_existing,
-        "theta_join_next_turn": R.theta_join_next_turn,
-        "range_containment_suppression": R.range_containment_suppression,
-        "union_alternative_keys": R.union_alternative_keys,
-        "running_window_total": R.running_window_total,
-        "sessionize_events": R.sessionize_events,
-        "scalar_function_battery": R.scalar_function_battery,
-        "ancestor_paths": R.ancestor_paths,
-        "token_explode_counts": R.token_explode_counts,
+    # ---- head 1: round-4 new or behavior-changed operators
+    changed = {
+        "multimodal_payload_decode": MM.multimodal_payload_decode,  # new r4
+        "bm25_retrieval": TS.bm25_retrieval,  # single token explode (r4)
+        "tfidf_top_terms": TS.tfidf_top_terms,  # vocab broadcast dropped (r4)
     }
-    # ---- head 2: every routed-fact consumer (rule bank 34 -> 62 this
-    # round, so ALL of these produce different rows than their r2 evidence)
+    # ---- head 2: last driver row is r2 (rode the r3 shadow) — every one
+    # of these gets a fresh CORRECTNESS_r04 row
+    stale_r2 = {
+        "lang_id_heuristic": TS.lang_id,
+        "quality_score": TS.quality_score,
+        "token_count": TS.token_count,
+        "length_histogram": TS.length_histogram,
+        "doc_fingerprint": TS.doc_fingerprint,
+        "dedup_exact": DD.exact_dedup,
+        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
+        "dedup_simhash64_banded": DD.simhash64_near_dup_pairs,
+        "ann_brute_force_topk": SIM.brute_force_topk,
+        "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
+        "multimodal_frame_sample": MM.frame_sample,
+        "ontology_closure_fixpoint": q_ontology_closure,
+        "skew_salt_plan": q_salt_plan,
+        "cdc_merge": DL.cdc_merge,
+        "cdc_merge_reverse": DL.cdc_merge_reverse,
+        "patch_hunks": DL.patch_hunks,
+        "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
+        "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
+        # rows-only: Lloyd-trained centroids are float means (no exact
+        # cross-engine hash); recall floor asserted in pytest (clustered)
+        "ann_ivf_trained": SIM.ivf_ann_trained,
+    }
+    # ---- head 3: every routed-fact consumer (the pandas kernel they ride
+    # on now compiles the bank with re.ASCII — ADVICE r03)
     pipeline = {
         "pipeline_agg_per_sink": q_pipeline_agg,
         "streaming_pipeline_agg": q_streaming_pipeline_agg,
+        "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
         "parse_route_facts": q_parse_facts,
         "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
         "enrich_tool_ontology": q_enriched_facts,
@@ -318,65 +351,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fragment_sets": DL.fragment_sets,
         "group_count_having": DL.group_count_having,
         "pivot_role_sink": DL.pivot_role_sink,
+        # these two relational queries also consume the routed fact stream
+        "except_unclassified_turns": R.except_unclassified_turns,
+        "range_containment_suppression": R.range_containment_suppression,
     }
-    # ---- head 3: round-3 new or behavior-changed operators
-    changed = {
-        "tree_delta_apply": DL.tree_delta_apply,  # new: path-addressed D2/D3
-        "multimodal_real_decode": MM.multimodal_real_decode,  # new: real codec
-        # new r3: watermark/window + custom-stateful streaming, both
-        # batch-parity-oracled (SURVEY §2.12)
-        "streaming_windowed_agg": q_streaming_windowed_agg,
-        "streaming_stateful_totals": q_streaming_stateful_totals,
-        # new r3: retrieval scoring family (training-data indexing/search)
-        "tfidf_top_terms": TS.tfidf_top_terms,
-        "bm25_retrieval": TS.bm25_retrieval,
-        "similar_turn_pairs": R.similar_turn_pairs,  # lossless gate (ADVICE)
-        "exact_stats": DL.exact_stats,  # 6dp rounding (ADVICE)
-        "snapshot_rename_move_map": MAP.snapshot_mapping,  # disjoint ids (ADVICE)
-        "dedup_minhash_lsh": DD.minhash_lsh_pairs,  # single shingle scan
-        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,  # same
-        "dedup_keep_list": DD.dedup_keep_list,
+    # ---- slack slots (r3-green, code-unchanged; re-evidenced while the
+    # ~50-cap has room)
+    slack = {
+        "multimodal_real_decode": MM.multimodal_real_decode,
+        "tree_delta_apply": DL.tree_delta_apply,
+        "similar_turn_pairs": R.similar_turn_pairs,
+        "exact_stats": DL.exact_stats,
+        "snapshot_rename_move_map": MAP.snapshot_mapping,
+        "dedup_minhash_lsh": DD.minhash_lsh_pairs,
+        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,
         "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,
-        "ann_ivf": SIM.ivf_ann,  # K 8 -> 16
-        "ann_ivf_nprobe": q_ivf_nprobe,  # K 8 -> 16
-        # renamed from dedup_simhash (VERDICT r02 #8): 16-bit identical-sig
-        # clustering is a COARSE histogram, not a dedup — the scale path is
-        # dedup_simhash64_banded
-        "dedup_simhash_coarse": DD.simhash_dup_groups,
+        "ann_ivf_nprobe": q_ivf_nprobe,
     }
-    # ---- slack slots: unchanged but worth re-evidencing while room remains
-    semi_stale = {
+    # ---- tail shadow (beyond the ~50 cap): code-unchanged AND r3-green;
+    # rotated back into the head next round
+    shadow = {
+        "pricing_summary": R.pricing_summary,
+        "join_chain_revenue": R.join_chain_revenue,
+        "broadcast_derived_key_join": R.broadcast_derived_key_join,
+        "conditional_predicate_join": R.conditional_predicate_join,
+        "anti_join_unmatched": R.anti_join_unmatched,
+        "semi_join_existing": R.semi_join_existing,
+        "theta_join_next_turn": R.theta_join_next_turn,
+        "union_alternative_keys": R.union_alternative_keys,
+        "running_window_total": R.running_window_total,
+        "sessionize_events": R.sessionize_events,
+        "scalar_function_battery": R.scalar_function_battery,
+        "ancestor_paths": R.ancestor_paths,
+        "token_explode_counts": R.token_explode_counts,
         "turn_ordering_invariant": q_turn_ordering,
-        "turn_text_identity": q_turn_text_identity,
         "min_max_turns": q_min_max_turns,
         "successor_facts": q_successor_facts,
-        "skew_salt_plan": q_salt_plan,
-        "cdc_merge": DL.cdc_merge,
-        "cdc_merge_reverse": DL.cdc_merge_reverse,
-        "patch_hunks": DL.patch_hunks,
-        "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
-    }
-    # ---- tail shadow (beyond the ~50 cap): code-unchanged AND r2-green
-    # (or rows-only by design); rotated back into the head next round
-    shadow = {
-        "lang_id_heuristic": TS.lang_id,
-        "quality_score": TS.quality_score,
-        "token_count": TS.token_count,
-        "length_histogram": TS.length_histogram,
-        "doc_fingerprint": TS.doc_fingerprint,
-        "dedup_exact": DD.exact_dedup,
-        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
-        "dedup_simhash64_banded": DD.simhash64_near_dup_pairs,
-        "ann_brute_force_topk": SIM.brute_force_topk,
-        "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
-        "multimodal_features": MM.multimodal_features,
-        "multimodal_frame_sample": MM.frame_sample,
-        "ontology_closure_fixpoint": q_ontology_closure,
-        "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
-        "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
-        # rows-only: Lloyd-trained centroids are float means (no exact
-        # cross-engine hash); recall floor asserted in pytest (clustered)
-        "ann_ivf_trained": SIM.ivf_ann_trained,
     }
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -387,7 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wrapped.__name__ = getattr(fn, "__name__", "query")
         return wrapped
 
-    all_queries = rel | pipeline | changed | semi_stale | shadow
+    all_queries = changed | stale_r2 | pipeline | slack | shadow
     return {name: wrap(fn) for name, fn in all_queries.items()}
 
 
@@ -411,10 +421,10 @@ def oracle_sql() -> dict[str, str]:
             sf, "SELECT conv_id, count(*) AS n_facts FROM routed GROUP BY conv_id"
         ),
         "tfidf_top_terms": OT.tfidf_top_terms_sql(),
+        "multimodal_payload_decode": OT.multimodal_payload_decode_sql(),
         "bm25_retrieval": OT.bm25_retrieval_sql(),
         "dedup_keep_list_transitive": OT.dedup_keep_list_transitive_sql(),
         "dedup_simhash64_banded": OT.simhash64_near_dup_pairs_sql(),
-        "lsh_bucket_histogram": OT.lsh_bucket_histogram_sql(),
         "ann_ivf_nprobe": OT.ivf_ann_sql(nprobe=2),
         "snapshot_rename_move_map": OR.snapshot_mapping_sql(),
         "guard_fact_lookup": oracles.with_routed(
@@ -452,15 +462,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": OT.doc_fingerprint_sql(),
         "dedup_exact": OT.exact_dedup_sql(),
         "dedup_minhash_lsh": OT.minhash_lsh_pairs_sql(),
-        "dedup_keep_list": OT.dedup_keep_list_sql(),
         "dedup_ngram_jaccard": OT.ngram_jaccard_sql(),
-        "dedup_simhash_coarse": OT.simhash_dup_groups_sql(),
         "multimodal_real_decode": OT.multimodal_real_decode_sql(),
         "ann_brute_force_topk": OT.brute_force_topk_sql(),
         "ann_lsh_bucketed": OT.lsh_bucketed_ann_sql(),
-        "ann_ivf": OT.ivf_ann_sql(),
         "dedup_embedding_cosine": OT.embedding_near_dup_sql(0.35),
-        "multimodal_features": OT.multimodal_features_sql(),
         "multimodal_frame_sample": OT.frame_sample_sql(),
     }
     rel = {
@@ -523,9 +529,6 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT conv_id, turn_idx, row_number() OVER ("
             "    PARTITION BY conv_id ORDER BY turn_idx) - 1 AS rn FROM t"
             ") GROUP BY conv_id",
-        ),
-        "turn_text_identity": oracles.with_transcripts(
-            sf, "SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM t"
         ),
         "successor_facts": oracles.with_transcripts(
             sf,
