@@ -145,6 +145,11 @@ def _run_secondary(bench, spark, sf_dir, transcripts) -> None:
     )
     bench("dedup_minhash_lsh", lambda: DD.minhash_lsh_pairs(spark, sf_dir).count())
     bench("ann_brute_force", lambda: SIM.brute_force_topk(spark, sf_dir).count())
+    # retrieval scoring (r4: single token explode / no vocab broadcast)
+    from cca_spark.operators import textstats as TS
+
+    bench("tfidf_top_terms", lambda: TS.tfidf_top_terms(spark, sf_dir).count())
+    bench("bm25_retrieval", lambda: TS.bm25_retrieval(spark, sf_dir).count())
 
     # production sink path: fan-out write partitioned by (sink, date_bucket)
     import shutil

@@ -26,19 +26,16 @@ def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: stopword-hit density over whitespace tokens.
-
-    A real pipeline swaps the stopword table per language and keeps the
-    same plan shape (regexp count is codegen'd, no UDF).
-    """
-    docs = _read_docs(spark, sf_dir)
+def lang_id_over(docs: DataFrame, extra_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+    """DataFrame-level language ID over any (doc_id, text[, ...]) table —
+    the composable form used by both the per-table query and the
+    production-day chained pipeline (scripts/production_day.py)."""
     n_stop = F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOPWORD_RE), 0))
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     density = n_stop.cast("double") / n_tok.cast("double")
     return docs.select(
         "doc_id",
-        "lang",
+        *extra_cols,
         n_stop.cast("int").alias("n_stopwords"),
         n_tok.cast("int").alias("n_tokens"),
         F.round(density, 6).alias("stopword_density"),
@@ -46,10 +43,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristics: length, punctuation ratio, stopword ratio,
-    mean word length — the standard pre-training filters."""
-    docs = _read_docs(spark, sf_dir)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit density over whitespace tokens.
+
+    A real pipeline swaps the stopword table per language and keeps the
+    same plan shape (regexp count is codegen'd, no UDF).
+    """
+    return lang_id_over(_read_docs(spark, sf_dir))
+
+
+def quality_score_over(docs: DataFrame) -> DataFrame:
+    """DataFrame-level quality heuristics over any (doc_id, text) table."""
     n_chars = F.length("text")
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
@@ -67,6 +71,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((n_stop.cast("double") / n_words.cast("double")) > 0.05)
         ).alias("passes_quality"),
     )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    mean word length — the standard pre-training filters."""
+    return quality_score_over(_read_docs(spark, sf_dir))
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,6 +154,37 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
+def tfidf_top_terms_over(docs: DataFrame, k: int = 3) -> DataFrame:
+    """DataFrame-level TF-IDF top-k over any (doc_id, text) table — the
+    composable form (see ``tfidf_top_terms`` for the plan rationale)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """TF-IDF top-k terms per document — the standard corpus-indexing /
     keyword-extraction operator of a training-data pipeline.
@@ -160,32 +201,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     ranking. N arrives via a broadcast scalar — the corpus-sized stream
     shuffles exactly once. Scores round to 6dp BEFORE ranking (repo float
     discipline) with (score desc, token asc) deterministic ties."""
-    from pyspark.sql import Window
-
-    toks = _doc_tokens(spark, sf_dir)
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = _read_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tfidf"), F.asc("token")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "token", "tf", "tfidf", "rank")
-    )
+    return tfidf_top_terms_over(_read_docs(spark, sf_dir), k)
 
 
 def bm25_retrieval(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:

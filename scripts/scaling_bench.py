@@ -86,6 +86,29 @@ Only the {r["run2_processed"]} unmanifested partitions reprocessed; the
 committed fact read-back equals the manifest's per-partition sums
 ({r["facts_committed"]:,} rows, `readback_equals_manifest` = {r["readback_equals_manifest"]}).
 """
+    prod = os.path.join(REPO, "BENCH_production_day.json")
+    if os.path.exists(prod):
+        p = json.load(open(prod))
+        rows = "\n".join(
+            f"| {s['stage']} | {s['rows_in']:,} | {s['rows_out']:,} | {s['sec']} |"
+            for s in p["stages"]
+        )
+        md += f"""
+## Production-day chain (`scripts/production_day.py`, raw: `BENCH_production_day.json`)
+
+The composite a training-data user runs daily, as ONE driver script over
+the stored {p["n_turns"]:,}-turn corpus: resume-manifest ingest → exact
+dedup → transitive near-dup keep-list → quality/lang filter → TF-IDF
+index. Every stage reuses the operators the per-query battery checks;
+stage boundaries are localCheckpointed so no stage silently recomputes
+its upstream (the cross-operator failure mode the battery can't see).
+Total {p["total_sec"]}s; all {len(p["checks"])} arithmetic cross-checks
+pass ({p["all_checks_pass"]}).
+
+| stage | rows in | rows out | wall (s) |
+|---|---|---|---|
+{rows}
+"""
     skew = os.path.join(REPO, "BENCH_skew.json")
     if os.path.exists(skew):
         s = json.load(open(skew))

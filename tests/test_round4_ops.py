@@ -46,6 +46,32 @@ def test_bank_ascii_sig_derivation_not_escalated():
     assert cre.search("exit code ９") is None  # fullwidth 9: no match
 
 
+def test_bm25_plan_has_single_token_explode(spark, sf_dir):
+    """Scale regression pin (VERDICT r03 #2): the corpus-sized token
+    explode must execute exactly once. The query-term tf aggregate is
+    eagerly localCheckpointed at build time, so the RETURNED plan must
+    contain ZERO Generate nodes (both tf consumers read the checkpointed
+    RDD) — dl is a plain projection, not an explode."""
+    from cca_spark.operators.textstats import bm25_retrieval
+
+    df = bm25_retrieval(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "token explode leaked back into the scoring plan"
+
+
+def test_tfidf_no_forced_vocabulary_broadcast(spark, sf_dir):
+    """The df (vocabulary-sized) join must not carry a user broadcast hint
+    (O(1e9) tokens at web scale). AQE may still CHOOSE broadcast from
+    runtime stats — the pin is on the logical plan's hints, not the
+    physical strategy."""
+    from cca_spark.operators.textstats import tfidf_top_terms
+
+    df = tfidf_top_terms(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # the only legitimate broadcast hint is the 1-row n_docs scalar
+    assert logical.lower().count("broadcast") <= 1
+
+
 # ---- oracle coverage for the queries() entries trimmed in round 4
 # (VERDICT r03 #5): each trimmed operator keeps a full DuckDB-oracle
 # pytest here; turn_text_identity stays pinned by
@@ -126,13 +152,14 @@ def _chain_pairs(spark, hops: int):
 
 
 def test_connected_min_labels_long_chain_raises(spark):
-    """A 30-hop path needs ~30 one-hop propagation rounds: the default
-    bound (20) must fail LOUDLY, never return unconverged labels
-    (VERDICT r03 stretch)."""
+    """A 30-hop path needs ~5 pointer-doubling rounds (O(log d) after the
+    r4 doubling step; ~30 one-hop rounds before): an insufficient bound
+    must fail LOUDLY, never return unconverged labels (VERDICT r03
+    stretch)."""
     from cca_spark.operators.dedup import connected_min_labels
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_min_labels(_chain_pairs(spark, 30), max_iters=20)
+        connected_min_labels(_chain_pairs(spark, 30), max_iters=3)
 
 
 def test_payload_decode_matches_oracle(spark, sf_dir):
@@ -202,8 +229,10 @@ def test_wav_payload_roundtrip():
 
 
 def test_connected_min_labels_long_chain_converges(spark):
+    """Pointer doubling: the 30-hop chain collapses to label 0 within 8
+    rounds (measured: 5) — O(diameter) one-hop propagation needed 30+."""
     from cca_spark.operators.dedup import connected_min_labels
 
-    labels = connected_min_labels(_chain_pairs(spark, 30), max_iters=40)
+    labels = connected_min_labels(_chain_pairs(spark, 30), max_iters=8)
     rows = {r["doc_id"]: r["label"] for r in labels.collect()}
     assert rows == {i: 0 for i in range(31)}
