@@ -359,9 +359,10 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     and (2) a doubling step (label := label of my label), so reach doubles
     per round and convergence is O(log diameter) rounds, not O(diameter)
     — the standard Hash-to-Min style shortcut for Pregel-free connected
-    components. Measured on the 19.2M-turn production-day chain
-    (92,827 docs / 64,700 near-dup members): 30 one-hop rounds -> 7
-    doubled rounds. Bounded at ``max_iters`` and loud on non-convergence.
+    components. Measured on a 30-hop
+    chain: 5 doubled rounds vs 30+ one-hop (test_connected_min_labels_
+    long_chain_converges). Bounded at ``max_iters`` and loud on
+    non-convergence.
 
     At 10^12 scale each round is two shuffles keyed by doc_id/label over
     the PAIR graph (orders of magnitude smaller than the corpus); the
