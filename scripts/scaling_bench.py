@@ -108,6 +108,14 @@ pass ({p["all_checks_pass"]}).
 | stage | rows in | rows out | wall (s) |
 |---|---|---|---|
 {rows}
+
+Notes: ingest runs in bounded 5-partition waves, one SparkSession per
+wave — a wave's dynamic-overwrite write spills ~its own unsafe-row
+volume and Spark reclaims a context's shuffle/spill only at teardown
+(the spark.local.dir sizing math of a real cluster). The near-dup stage
+is candidate-bound (dense LSH buckets on a ~70%-near-dup corpus), not
+iteration-bound: the min-label fixpoint is O(log diameter) rounds via
+pointer doubling.
 """
     skew = os.path.join(REPO, "BENCH_skew.json")
     if os.path.exists(skew):
