@@ -231,6 +231,20 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_totals_to_memory(spark, input_dir, query_name=qname)
 
 
+def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup (applyInPandasWithState keyed by content
+    hash): after the stream drains, per-key state (min doc key, copy
+    count) must equal the batch md5-groupBy bit-for-bit — state is
+    bounded by DISTINCT texts, not turns (SURVEY §2.12 + dedup family)."""
+    import uuid
+
+    from cca_spark.streaming.pipeline import run_first_seen_dedup_to_memory
+
+    input_dir = _staged_stream_input(spark, sf_dir)
+    qname = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"
+    return run_first_seen_dedup_to_memory(spark, input_dir, query_name=qname)
+
+
 def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cca_spark.ontology import ontology_closure_df
 
@@ -303,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- head 1: round-4 new or behavior-changed operators
     changed = {
         "multimodal_payload_decode": MM.multimodal_payload_decode,  # new r4
+        "streaming_dedup_first_seen": q_streaming_dedup_first_seen,  # new r4
         "bm25_retrieval": TS.bm25_retrieval,  # single token explode (r4)
         "tfidf_top_terms": TS.tfidf_top_terms,  # vocab broadcast dropped (r4)
     }
@@ -419,6 +434,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_stateful_totals": oracles.with_routed(
             sf, "SELECT conv_id, count(*) AS n_facts FROM routed GROUP BY conv_id"
+        ),
+        # streaming/batch parity: stateful first-seen dedup must equal the
+        # batch md5-groupBy (keeper = min doc key, both engines' string
+        # min over ASCII keys)
+        "streaming_dedup_first_seen": oracles.with_transcripts(
+            sf,
+            "SELECT md5(text) AS text_md5, "
+            "min(conv_id || ':' || cast(turn_idx AS varchar)) AS keeper_doc, "
+            "count(*) AS n_copies FROM t GROUP BY 1",
         ),
         "tfidf_top_terms": OT.tfidf_top_terms_sql(),
         "multimodal_payload_decode": OT.multimodal_payload_decode_sql(),

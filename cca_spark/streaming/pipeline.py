@@ -90,6 +90,73 @@ def running_conv_state(routed: DataFrame) -> DataFrame:
     )
 
 
+_DEDUP_STATE_SCHEMA = "keeper string, n_copies long"
+_DEDUP_OUT_SCHEMA = "text_md5 string, keeper_doc string, n_copies long"
+
+
+def _update_dedup_state(key, pdfs, state: GroupState):
+    min_k = None
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            m = pdf["doc_key"].min()
+            min_k = m if min_k is None else min(min_k, m)
+    if state.exists:
+        k0, n0 = state.get
+        min_k = k0 if min_k is None else min(min_k, k0)
+        n += n0
+    state.update((min_k, n))
+    yield pd.DataFrame(
+        {"text_md5": [key[0]], "keeper_doc": [min_k], "n_copies": [n]}
+    )
+
+
+def streaming_first_seen_dedup(stream: DataFrame) -> DataFrame:
+    """STREAMING exact dedup: state keyed by content hash holds the
+    running (min doc key, copy count) per distinct text — the streaming
+    form of ``dedup.exact_dedup``'s digest prematch. Both state fields are
+    monotone (min decreases, count increases), so after the stream drains
+    the last update per key equals the batch groupBy exactly — that
+    batch parity is the oracle claim. State size is bounded by DISTINCT
+    texts, not turns (the whole point of dedup at 10^12 scale)."""
+    keyed = stream.select(
+        F.md5("text").alias("text_md5"),
+        F.concat_ws(
+            ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+        ).alias("doc_key"),
+    )
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        _update_dedup_state,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_first_seen_dedup_to_memory(
+    spark: SparkSession, input_dir: str, query_name: str = "dedup_stream"
+) -> DataFrame:
+    """Drive the stateful dedup to completion; the memory sink holds one
+    update row per (text_md5, microbatch) — min(keeper)/max(n_copies)
+    recover each key's final state (both monotone)."""
+    stream = stream_transcripts(spark, input_dir)
+    dedup = streaming_first_seen_dedup(stream)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT text_md5, min(keeper_doc) AS keeper_doc, "
+        f"max(n_copies) AS n_copies FROM {query_name} GROUP BY text_md5"
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, query_name: str = "routed_stream"
 ) -> DataFrame:

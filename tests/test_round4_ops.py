@@ -46,6 +46,19 @@ def test_bank_ascii_sig_derivation_not_escalated():
     assert cre.search("exit code ９") is None  # fullwidth 9: no match
 
 
+def test_streaming_dedup_first_seen_matches_batch(spark, sf_dir):
+    """The stateful streaming dedup's drained state must equal the batch
+    md5-groupBy exactly (keeper = min doc key, n_copies = count)."""
+    import __spark_entry__ as entrymod
+    from tests.util import assert_matches_oracle
+
+    q = entrymod.queries()["streaming_dedup_first_seen"]
+    oracle = entrymod.oracle_sql()["streaming_dedup_first_seen"].replace(
+        "/root/testdata/sf0.01", sf_dir
+    )
+    assert_matches_oracle(q(spark, sf_dir), oracle, min_rows=10, sf_dir=sf_dir)
+
+
 def test_bm25_plan_has_single_token_explode(spark, sf_dir):
     """Scale regression pin (VERDICT r03 #2): the corpus-sized token
     explode must execute exactly once. The query-term tf aggregate is
