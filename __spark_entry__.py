@@ -94,15 +94,6 @@ def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_ordering_check(load_transcripts(spark, sf_dir))
 
 
-def q_turn_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-turn text equality invariant: both engines hash identical bytes."""
-    from cca_spark.transcripts import load_transcripts
-
-    return load_transcripts(spark, sf_dir).select(
-        "conv_id", "turn_idx", F.md5(F.col("text")).alias("text_md5")
-    )
-
-
 def q_successor_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 

@@ -147,11 +147,20 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read_docs(spark, sf_dir)
+# THE retrieval tokenization: single-space split, empty tokens dropped.
+# Defined once — tfidf, bm25's tf explode, and bm25's no-explode dl
+# projection must all agree or oracle parity silently breaks.
+RETRIEVAL_DELIM = " "
+
+
+def _doc_tokens_over(docs: DataFrame) -> DataFrame:
     return docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        "doc_id", F.explode(F.split(F.col("text"), RETRIEVAL_DELIM)).alias("token")
     ).filter(F.col("token") != "")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_tokens_over(_read_docs(spark, sf_dir))
 
 
 def tfidf_top_terms_over(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -159,10 +168,17 @@ def tfidf_top_terms_over(docs: DataFrame, k: int = 3) -> DataFrame:
     composable form (see ``tfidf_top_terms`` for the plan rationale)."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    toks = _doc_tokens_over(docs)
+    # tf feeds both dfreq and the scoring join: without materialization
+    # Spark replays the corpus-sized token explode + (doc, token)
+    # aggregation once per consumer (the exact pattern fixed in
+    # bm25_retrieval this round) — checkpoint it once, leaving ONE
+    # Generate in the executed lineage
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -229,7 +245,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .select(
             "doc_id",
             F.size(
-                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+                F.filter(F.split(F.col("text"), RETRIEVAL_DELIM), lambda t: t != "")
             ).cast("long").alias("dl"),
         )
         .filter(F.col("dl") > 0)

@@ -119,8 +119,10 @@ def main() -> None:
             waves += 1
         spark = fresh_session()
         corpus = read_bench_corpus(spark, path)
-        facts_committed = read_facts(spark, out_dir).count()
         w = time.time() - t0
+        # integrity read-back is verification, not pipeline work: count it
+        # outside the stage wall (review r4)
+        facts_committed = read_facts(spark, out_dir).count()
         manifest_sum = (
             read_manifest(spark, out_dir).agg(F.sum("n_facts")).collect()[0][0]
         )

@@ -241,6 +241,34 @@ def main() -> None:
         "meets_target": median_eff >= 0.8,
     }
     print(json.dumps(report))
+
+    # durable cross-invocation history (review r4): BENCH.md is REGENERATED
+    # by this script, so evidence that lives only as hand-edits dies on the
+    # next run — the history file is the source of truth and this run
+    # appends itself before rendering.
+    hist_path = os.path.join(REPO, "BENCH_scaling_history.json")
+    try:
+        hist = json.load(open(hist_path))
+    except (FileNotFoundError, ValueError):
+        hist = {"invocations": []}
+    this_rounds = [r["efficiency"] for r in rounds]
+    if not any(
+        inv.get("efficiency_rounds") == this_rounds for inv in hist["invocations"]
+    ):
+        hist["invocations"].append(
+            {"label": f"run_{len(hist['invocations'])}", "efficiency_rounds": this_rounds}
+        )
+        with open(hist_path, "w") as f:
+            json.dump(hist, f, indent=2)
+    all_effs = sorted(
+        e for inv in hist["invocations"] for e in inv["efficiency_rounds"]
+    )
+    overall_median = (
+        all_effs[len(all_effs) // 2]
+        if len(all_effs) % 2
+        else round((all_effs[len(all_effs) // 2 - 1] + all_effs[len(all_effs) // 2]) / 2, 3)
+    )
+
     lo = {**lo, "value": rep["pipeline_sec_n"], "routed_turns_per_sec": thr_lo}
     hi = {**hi, "value": rep["pipeline_sec_4n"], "routed_turns_per_sec": thr_hi}
 
@@ -272,6 +300,9 @@ back-to-back; this shared sandbox has minute-scale noise windows that hit
 the short 4N leg hardest — same 4N job measured 37.2s vs 46.9s in
 different windows):
 {", ".join(f"{r['efficiency']:.3f}" for r in rounds)} (median {median_eff:.3f}, best {best["efficiency"]:.3f}).
+Cross-invocation history (`BENCH_scaling_history.json`): {len(all_effs)}
+paired rounds across {len(hist["invocations"])} invocations of this
+protocol, overall median {overall_median:.3f}, min {all_effs[0]:.3f}.
 
 **Why N=4 / 4N=16 on this 32-CPU host:** every Arrow-UDF task occupies
 ~2 CPU threads — a JVM task thread (parquet decode, Arrow encode,
@@ -284,7 +315,11 @@ cores against node vCPUs. Walls are best-of-N steady-state
 (`pipeline_pandas_trials`), input is a pre-materialized 128-file parquet
 corpus identical for both levels.
 
-## Per-query seconds at local[{args.n4}]
+## Per-query seconds at local[{args.n4}] (final round's 4N leg)
+
+(The headline table above uses the median-representative round; this
+per-query table is the last leg executed, so its pipeline wall can
+differ by the inter-round noise documented above.)
 
 | query | sec |
 |---|---|

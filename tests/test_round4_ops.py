@@ -83,6 +83,10 @@ def test_tfidf_no_forced_vocabulary_broadcast(spark, sf_dir):
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     # the only legitimate broadcast hint is the 1-row n_docs scalar
     assert logical.lower().count("broadcast") <= 1
+    # and the corpus token explode runs once (eager tf checkpoint): the
+    # returned plan must contain ZERO Generate nodes, like bm25
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
 
 
 # ---- oracle coverage for the queries() entries trimmed in round 4
