@@ -118,13 +118,39 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(dedup_corpus(spark, sf_dir))
 
 
-def lsh_verified_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+# Above this many docs in one (band_idx, band_key) bucket, the in-bucket
+# self-join stops emitting all pairs and emits only hub-star pairs
+# (hub = bucket-min doc_id). See lsh_verified_pairs for the recall note.
+LSH_BUCKET_CAP = 64
+
+
+def lsh_verified_pairs(
+    corpus: DataFrame, threshold: float = 0.5, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """The LSH pipeline over an arbitrary (doc_id, text) corpus.
 
     The shingle stream is materialized ONCE (localCheckpoint) and shared
     by the minhash pass and the Jaccard verify — at 100 TB the shingle
     explode is the dominant shuffle and round 2 ran it twice per query
-    (VERDICT r02 flagged this as the dedup_minhash_lsh 1.8x regression)."""
+    (VERDICT r02 flagged this as the dedup_minhash_lsh 1.8x regression).
+
+    DENSE-BUCKET BOUND (VERDICT r04 #2): a high-duplicate corpus (30-60%
+    is routine for web crawls; the production-day replica corpus is ~99%)
+    packs thousands of docs into single band buckets, making the in-bucket
+    self-join — and the exact-Jaccard verify behind it — quadratic
+    (measured 1,293s for 93k docs). Buckets larger than ``bucket_cap``
+    therefore emit only HUB-STAR candidates: each member paired with the
+    bucket's min doc_id, O(n) per bucket instead of O(n^2). The hub filter
+    is a predicate on the left side only, so Catalyst pushes it below the
+    join — oversized buckets never materialize their cross product.
+    RECALL NOTE: in an oversized bucket, a non-hub pair (b, c) survives
+    only via another (smaller) shared bucket or transitively through the
+    hub (hub~b and hub~c both pass verify — always the case when the
+    bucket is one replica family, the situation that creates oversized
+    buckets in practice). The verify stage itself stays exact for every
+    emitted candidate. Downstream connected-components dedup is unaffected
+    whenever the hub verifies against bucket members (the star spans the
+    component). The DuckDB oracle mirrors the cap bit-for-bit."""
     shingles = corpus_shingles(corpus).localCheckpoint(eager=True)
     sigs = minhash_signatures(corpus, shingles=shingles)
     rows_per_band = N_MINHASHES // N_BANDS
@@ -137,7 +163,19 @@ def lsh_verified_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_key"
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    stats = banded.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_hub")
+    )
+    # left side pre-filtered: full buckets keep every member (all-pairs),
+    # oversized buckets keep only the hub (star) — pushed below the join
+    lhs = (
+        banded.join(stats, ["band_idx", "band_key"])
+        .filter(
+            (F.col("bucket_n") <= bucket_cap) | (F.col("doc_id") == F.col("bucket_hub"))
+        )
+        .select("doc_id", "band_idx", "band_key")
+    )
+    a, b = lhs.alias("a"), banded.alias("b")
     cands = (
         a.join(
             b,

@@ -5,6 +5,7 @@ views (documents, embeddings)."""
 from __future__ import annotations
 
 from cca_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
     N_BANDS,
     N_MINHASHES,
     SHINGLE_K,
@@ -144,16 +145,32 @@ JOIN sizes nb ON nb.doc_id = i.doc_b
 """
 
 
-def minhash_lsh_pairs_sql(corpus_cte: str = CORPUS_CTE, threshold: float = 0.5) -> str:
+def minhash_lsh_pairs_sql(
+    corpus_cte: str = CORPUS_CTE,
+    threshold: float = 0.5,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> str:
+    # bucket_stats + the (bucket_n <= cap OR a = hub) predicate mirror the
+    # Spark-side dense-bucket bound (dedup.lsh_verified_pairs): oversized
+    # buckets contribute hub-star candidates only. hub = bucket min, so
+    # hub rows always qualify on the `a` side of a.doc_id < b.doc_id.
     return f"""
 WITH {corpus_cte},
 {SHINGLES_CTE},
 {SHINGLES_NONEMPTY},
 {_sig_cte()},
+bucket_stats AS (
+  SELECT band_idx, band_key, count(*) AS bucket_n, min(doc_id) AS bucket_hub
+  FROM banded GROUP BY band_idx, band_key
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM banded a
+  JOIN bucket_stats s
+    ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+  JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE s.bucket_n <= {bucket_cap} OR a.doc_id = s.bucket_hub
 ),
 {JACCARD_TAIL.strip().rstrip()}
 WHERE round(i.n_inter / cast(na.n_sh + nb.n_sh - i.n_inter AS double), 6) >= {threshold}
@@ -481,6 +498,70 @@ scored AS (
     {_cosine('q.embedding', 'c.embedding')} AS cosine
   FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
 )
+SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def ivf_ann_trained_sql(
+    k: int = 3, n_queries: int = 20, nprobe: int = 2, iters: int = 2
+) -> str:
+    """Unrolled-Lloyd oracle for similarity.ivf_ann_trained: ``iters``
+    assign/mean rounds from the stride seed, each mean rounded to 6dp
+    fixed point (mirroring the Spark loop bit-for-bit), then the standard
+    nprobe probe + cell-local exact rerank."""
+    from cca_spark.operators.similarity import IVF_CENTROID_STRIDE, N_IVF_CENTROIDS
+
+    top = N_IVF_CENTROIDS * IVF_CENTROID_STRIDE
+    ctes = [
+        f"""cents0 AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_STRIDE} = 0 AND vec_id < {top})"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""assigned{i} AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_cosine('e.embedding', 'c.cent_emb')} DESC, c.centroid_id ASC
+      ) AS r
+    FROM embeddings e CROSS JOIN cents{i} c
+  ) WHERE r = 1),
+pos{i} AS (
+  SELECT cell,
+    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+    unnest(list_transform(embedding, x -> cast(x AS double))) AS val
+  FROM assigned{i}),
+means{i} AS (
+  SELECT cell, pos, round(avg(val), 6) AS m FROM pos{i} GROUP BY cell, pos),
+cents{i + 1} AS (
+  SELECT cell AS centroid_id, list(m ORDER BY pos) AS cent_emb
+  FROM means{i} GROUP BY cell)"""
+        )
+    final = f"""ranks AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cosine('e.embedding', 'c.cent_emb')} DESC, c.centroid_id ASC
+    ) AS r
+  FROM embeddings e CROSS JOIN cents{iters} c),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM ranks WHERE r = 1),
+qprobe AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM ranks
+  WHERE r <= {nprobe} AND vec_id < {n_queries}),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+    {_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+)"""
+    body = ",\n".join(ctes + [final])
+    return f"""
+WITH {body}
 SELECT q_id, c_id, cosine, cast(rank AS int) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
   FROM scored

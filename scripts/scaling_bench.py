@@ -102,8 +102,9 @@ dedup → transitive near-dup keep-list → quality/lang filter → TF-IDF
 index. Every stage reuses the operators the per-query battery checks;
 stage boundaries are localCheckpointed so no stage silently recomputes
 its upstream (the cross-operator failure mode the battery can't see).
-Total {p["total_sec"]}s; all {len(p["checks"])} arithmetic cross-checks
-pass ({p["all_checks_pass"]}).
+Total {p["total_sec"]}s pipeline work (+ {p.get("verify_sec", 0)}s
+verification-only read-back, reported as its own stage row below); all
+{len(p["checks"])} arithmetic cross-checks pass ({p["all_checks_pass"]}).
 
 | stage | rows in | rows out | wall (s) |
 |---|---|---|---|
@@ -113,9 +114,12 @@ Notes: ingest runs in bounded 5-partition waves, one SparkSession per
 wave — a wave's dynamic-overwrite write spills ~its own unsafe-row
 volume and Spark reclaims a context's shuffle/spill only at teardown
 (the spark.local.dir sizing math of a real cluster). The near-dup stage
-is candidate-bound (dense LSH buckets on a ~70%-near-dup corpus), not
-iteration-bound: the min-label fixpoint is O(log diameter) rounds via
-pointer doubling.
+runs with the dense-bucket bound (dedup.LSH_BUCKET_CAP): band buckets
+larger than the cap emit hub-star candidates only, so the ~99%-near-dup
+replica corpus stays O(n) per bucket instead of the O(n²) verify join
+that cost 1,293s in round 4. The min-label fixpoint is O(log diameter)
+rounds via pointer doubling. Per-stage physical plans: PLANS.md
+§production-day.
 """
     skew = os.path.join(REPO, "BENCH_skew.json")
     if os.path.exists(skew):
@@ -252,14 +256,22 @@ def main() -> None:
     except (FileNotFoundError, ValueError):
         hist = {"invocations": []}
     this_rounds = [r["efficiency"] for r in rounds]
-    if not any(
-        inv.get("efficiency_rounds") == this_rounds for inv in hist["invocations"]
-    ):
-        hist["invocations"].append(
-            {"label": f"run_{len(hist['invocations'])}", "efficiency_rounds": this_rounds}
-        )
-        with open(hist_path, "w") as f:
-            json.dump(hist, f, indent=2)
+    # key on an explicit per-invocation run id (ADVICE r04): value-equality
+    # of the rounds list silently dropped genuinely distinct invocations
+    # that happened to produce identical numbers. The id is a monotonic
+    # counter persisted in the file plus the wall-clock start, so re-running
+    # the protocol always appends exactly one new entry.
+    run_id = hist.get("next_run_id", len(hist["invocations"]))
+    hist["next_run_id"] = run_id + 1
+    hist["invocations"].append(
+        {
+            "label": f"run_{run_id}",
+            "started_unix": int(time.time()),
+            "efficiency_rounds": this_rounds,
+        }
+    )
+    with open(hist_path, "w") as f:
+        json.dump(hist, f, indent=2)
     all_effs = sorted(
         e for inv in hist["invocations"] for e in inv["efficiency_rounds"]
     )
