@@ -176,6 +176,83 @@ def _staged_stream_input(spark: SparkSession, sf_dir: str) -> str:
     return input_dir
 
 
+def _staged_stream_input_ts_ordered(spark: SparkSession, sf_dir: str, n_chunks: int = 10) -> str:
+    """EVENT-TIME-ORDERED stream staging for the TTL dedup: chunk k holds
+    the k-th slice of distinct event days and chunks are written
+    SEQUENTIALLY (strictly increasing mtime and lexicographic names), so
+    the file source delivers them oldest-first. With day-aligned chunks,
+    every row's event time is ahead of the watermark computed from earlier
+    files — no late-data drop is possible, which is what makes the plain
+    batch GROUP BY a valid oracle for the watermark-evicting query (see
+    streaming/pipeline.streaming_dedup_ttl). Cache-keyed like
+    _staged_stream_input."""
+    import glob
+    import hashlib
+    import shutil
+
+    from cca_spark.transcripts import TRANSCRIPTS_SQL, load_transcripts
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+
+    def _content_sig(path: str) -> str:
+        sigs = []
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                sigs.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+        else:
+            st = os.stat(path)
+            sigs.append(f"{st.st_mtime_ns}:{st.st_size}")
+        return ";".join(sigs)
+
+    tag = hashlib.md5(
+        f"tsord|{sf_dir}|{_content_sig(events_path)}|{TRANSCRIPTS_SQL}|{n_chunks}".encode()
+    ).hexdigest()[:12]
+    input_dir = f"/tmp/cca_stream_src_ts_{tag}"
+    done = os.path.join(input_dir, "_STAGED_OK")
+    if os.path.exists(done):
+        return input_dir
+    shutil.rmtree(input_dir, ignore_errors=True)
+    os.makedirs(input_dir)
+    t = load_transcripts(spark, sf_dir)
+    days = sorted(
+        r["d"] for r in t.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    per = max(1, (len(days) + n_chunks - 1) // n_chunks)
+    for i in range(0, len(days), per):
+        group = days[i : i + per]
+        tmp_out = f"{input_dir}.tmp_{i}"
+        (
+            t.filter(F.to_date("ts").isin(group))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp_out)
+        )
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(input_dir, f"chunk_{i:05d}.parquet"))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    with open(done, "w") as f:
+        f.write("ok")
+    return input_dir
+
+
+def q_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state (EventTimeTimeout): generations
+    are event-time day windows, state for a window is evicted once the
+    watermark passes its end, and an evicted key re-entering (a later day)
+    counts as new. Oracle = batch GROUP BY (md5(text), day) — valid
+    because the staged input is event-time-ordered so eviction is pure
+    state GC (VERDICT r04 #4)."""
+    import uuid
+
+    from cca_spark.streaming.pipeline import run_dedup_ttl_to_memory
+
+    input_dir = _staged_stream_input_ts_ordered(spark, sf_dir)
+    qname = f"q_stream_ttl_{uuid.uuid4().hex[:8]}"
+    df, _stats = run_dedup_ttl_to_memory(spark, input_dir, query_name=qname)
+    return df
+
+
 def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming variant of the flagship aggregate: the same
     parse/enrich/route operators over a file-source readStream
@@ -250,18 +327,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     AND driver-green in the immediately preceding round absorb the tail
     shadow.
 
-    Round 4 head (re-derived this round):
-    (1) new/changed code — multimodal_payload_decode (new), bm25_retrieval
-        and tfidf_top_terms (single-explode / no-vocab-broadcast fixes);
-    (2) the 19 queries whose last driver row is r2 (shadowed by the r3
-        cap): 5 textstats, 4 dedup, 3 ANN, frame_sample, ontology closure,
-        skew plan, cdc pair, patch_hunks, + 3 rows-only;
-    (3) every routed-fact consumer — compile_bank() now applies re.ASCII
-        (ADVICE r03), which touches the pandas kernel all of these ride on
-        (results are byte-identical on the ASCII corpus; the fresh rows
-        prove it).
-    Slack then holds r3-green unchanged ops worth re-evidencing; the
-    shadow is exclusively r3-green, code-unchanged queries.
+    Round 5 head (re-derived this round):
+    (1) new/changed code — streaming_dedup_ttl (new: EventTimeTimeout
+        state eviction), ann_ivf_trained (newly hash-oracled via 6dp
+        fixed-point Lloyd means), bm25_retrieval (TakeOrderedAndProject
+        top-k), tfidf_top_terms (lazy DISK_ONLY tf cache),
+        dedup_minhash_lsh + dedup_keep_list_transitive (dense-bucket
+        hub-star cap, oracle changed in lockstep);
+    (2) the 17 queries whose last driver row is r3 (r4's shadow plus
+        ann_ivf_nprobe, which missed the r4 cap): pricing_summary, the 12
+        relational/window/scalar queries, turn_ordering_invariant,
+        min_max_turns, successor_facts, ann_ivf_nprobe.
+    Slack then re-evidences r4-green unchanged ops while the ~50-cap has
+    room (pipeline + streaming families first — they ride the shared
+    parse kernel); the shadow is exclusively r4-green, code-unchanged
+    queries.
 
     TRIMMED this round (VERDICT r03 #5 — genuine redundancy; each keeps a
     pytest oracle in tests/test_round4_ops.py or test_pipeline_oracle.py):
@@ -305,78 +385,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return SIM.ivf_ann_nprobe(spark, sf_dir, nprobe=2)
 
-    # ---- head 1: round-4 new or behavior-changed operators
+    # ---- head 1: round-5 new or behavior-changed operators
     changed = {
-        "multimodal_payload_decode": MM.multimodal_payload_decode,  # new r4
-        "streaming_dedup_first_seen": q_streaming_dedup_first_seen,  # new r4
-        "bm25_retrieval": TS.bm25_retrieval,  # single token explode (r4)
-        "tfidf_top_terms": TS.tfidf_top_terms,  # vocab broadcast dropped (r4)
+        "streaming_dedup_ttl": q_streaming_dedup_ttl,  # new r5
+        "ann_ivf_trained": SIM.ivf_ann_trained,  # hash-oracled r5 (6dp Lloyd)
+        "bm25_retrieval": TS.bm25_retrieval,  # TakeOrderedAndProject top-k (r5)
+        "tfidf_top_terms": TS.tfidf_top_terms,  # lazy DISK_ONLY tf cache (r5)
+        "dedup_minhash_lsh": DD.minhash_lsh_pairs,  # dense-bucket cap (r5)
+        "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,  # ditto
     }
-    # ---- head 2: last driver row is r2 (rode the r3 shadow) — every one
-    # of these gets a fresh CORRECTNESS_r04 row
-    stale_r2 = {
-        "lang_id_heuristic": TS.lang_id,
-        "quality_score": TS.quality_score,
-        "token_count": TS.token_count,
-        "length_histogram": TS.length_histogram,
-        "doc_fingerprint": TS.doc_fingerprint,
-        "dedup_exact": DD.exact_dedup,
-        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
-        "dedup_simhash64_banded": DD.simhash64_near_dup_pairs,
-        "ann_brute_force_topk": SIM.brute_force_topk,
-        "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
-        "multimodal_frame_sample": MM.frame_sample,
-        "ontology_closure_fixpoint": q_ontology_closure,
-        "skew_salt_plan": q_salt_plan,
-        "cdc_merge": DL.cdc_merge,
-        "cdc_merge_reverse": DL.cdc_merge_reverse,
-        "patch_hunks": DL.patch_hunks,
-        "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
-        "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
-        # rows-only: Lloyd-trained centroids are float means (no exact
-        # cross-engine hash); recall floor asserted in pytest (clustered)
-        "ann_ivf_trained": SIM.ivf_ann_trained,
-    }
-    # ---- head 3: every routed-fact consumer (the pandas kernel they ride
-    # on now compiles the bank with re.ASCII — ADVICE r03)
-    pipeline = {
-        "pipeline_agg_per_sink": q_pipeline_agg,
-        "streaming_pipeline_agg": q_streaming_pipeline_agg,
-        "streaming_windowed_agg": q_streaming_windowed_agg,
-        "streaming_stateful_totals": q_streaming_stateful_totals,
-        "parse_route_facts": q_parse_facts,
-        "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
-        "enrich_tool_ontology": q_enriched_facts,
-        "route_dead_letter": q_dead_letter,
-        "coverage_rollup": q_coverage_rollup,
-        "top_k_patterns": q_top_k_patterns,
-        "sample_per_group": q_sample_per_group,
-        "guard_fact_lookup": q_guard_lookup,
-        "second_gen_pattern_facts": q_second_gen,
-        "conv_diff_stat": q_conv_diff_stat,
-        "fragment_sets": DL.fragment_sets,
-        "group_count_having": DL.group_count_having,
-        "pivot_role_sink": DL.pivot_role_sink,
-        # these two relational queries also consume the routed fact stream
-        "except_unclassified_turns": R.except_unclassified_turns,
-        "range_containment_suppression": R.range_containment_suppression,
-    }
-    # ---- slack slots (r3-green, code-unchanged; re-evidenced while the
-    # ~50-cap has room)
-    slack = {
-        "multimodal_real_decode": MM.multimodal_real_decode,
-        "tree_delta_apply": DL.tree_delta_apply,
-        "similar_turn_pairs": R.similar_turn_pairs,
-        "exact_stats": DL.exact_stats,
-        "snapshot_rename_move_map": MAP.snapshot_mapping,
-        "dedup_minhash_lsh": DD.minhash_lsh_pairs,
-        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,
-        "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,
-        "ann_ivf_nprobe": q_ivf_nprobe,
-    }
-    # ---- tail shadow (beyond the ~50 cap): code-unchanged AND r3-green;
-    # rotated back into the head next round
-    shadow = {
+    # ---- head 2: last driver row is r3 (r4's shadow + ann_ivf_nprobe
+    # which missed the r4 cap) — every one gets a fresh CORRECTNESS_r05 row
+    stale_r3 = {
         "pricing_summary": R.pricing_summary,
         "join_chain_revenue": R.join_chain_revenue,
         "broadcast_derived_key_join": R.broadcast_derived_key_join,
@@ -393,6 +413,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_ordering_invariant": q_turn_ordering,
         "min_max_turns": q_min_max_turns,
         "successor_facts": q_successor_facts,
+        "ann_ivf_nprobe": q_ivf_nprobe,
+    }
+    # ---- slack slots (r4-green, code-unchanged; re-evidenced while the
+    # ~50-cap has room — pipeline/streaming families first, they ride the
+    # shared parse kernel)
+    slack = {
+        "pipeline_agg_per_sink": q_pipeline_agg,
+        "streaming_pipeline_agg": q_streaming_pipeline_agg,
+        "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
+        "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
+        "parse_route_facts": q_parse_facts,
+        "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
+        "enrich_tool_ontology": q_enriched_facts,
+        "route_dead_letter": q_dead_letter,
+        "coverage_rollup": q_coverage_rollup,
+        "top_k_patterns": q_top_k_patterns,
+        "sample_per_group": q_sample_per_group,
+        "guard_fact_lookup": q_guard_lookup,
+        "second_gen_pattern_facts": q_second_gen,
+        "conv_diff_stat": q_conv_diff_stat,
+        "fragment_sets": DL.fragment_sets,
+        "group_count_having": DL.group_count_having,
+        "pivot_role_sink": DL.pivot_role_sink,
+        "except_unclassified_turns": R.except_unclassified_turns,
+        "range_containment_suppression": R.range_containment_suppression,
+        "lang_id_heuristic": TS.lang_id,
+        "quality_score": TS.quality_score,
+        "token_count": TS.token_count,
+        "length_histogram": TS.length_histogram,
+        "doc_fingerprint": TS.doc_fingerprint,
+        "dedup_exact": DD.exact_dedup,
+        "dedup_simhash64_banded": DD.simhash64_near_dup_pairs,
+    }
+    # ---- tail shadow (beyond the ~50 cap): code-unchanged AND r4-green;
+    # rotated back into the head next round
+    shadow = {
+        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
+        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,
+        "ann_brute_force_topk": SIM.brute_force_topk,
+        "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
+        "multimodal_real_decode": MM.multimodal_real_decode,
+        "multimodal_payload_decode": MM.multimodal_payload_decode,
+        "multimodal_frame_sample": MM.frame_sample,
+        "ontology_closure_fixpoint": q_ontology_closure,
+        "skew_salt_plan": q_salt_plan,
+        "cdc_merge": DL.cdc_merge,
+        "cdc_merge_reverse": DL.cdc_merge_reverse,
+        "patch_hunks": DL.patch_hunks,
+        "tree_delta_apply": DL.tree_delta_apply,
+        "similar_turn_pairs": R.similar_turn_pairs,
+        "exact_stats": DL.exact_stats,
+        "snapshot_rename_move_map": MAP.snapshot_mapping,
+        "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
+        "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
     }
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -403,7 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wrapped.__name__ = getattr(fn, "__name__", "query")
         return wrapped
 
-    all_queries = changed | stale_r2 | pipeline | slack | shadow
+    all_queries = changed | stale_r3 | slack | shadow
     return {name: wrap(fn) for name, fn in all_queries.items()}
 
 
@@ -435,12 +510,23 @@ def oracle_sql() -> dict[str, str]:
             "min(conv_id || ':' || cast(turn_idx AS varchar)) AS keeper_doc, "
             "count(*) AS n_copies FROM t GROUP BY 1",
         ),
+        # TTL variant (r5): generations are event-time day windows, state
+        # evicted past the watermark — batch parity per (text, day)
+        "streaming_dedup_ttl": oracles.with_transcripts(
+            sf,
+            "SELECT md5(text) AS text_md5, cast(ts AS date) AS day, "
+            "min(conv_id || ':' || cast(turn_idx AS varchar)) AS keeper_doc, "
+            "count(*) AS n_copies FROM t GROUP BY 1, 2",
+        ),
         "tfidf_top_terms": OT.tfidf_top_terms_sql(),
         "multimodal_payload_decode": OT.multimodal_payload_decode_sql(),
         "bm25_retrieval": OT.bm25_retrieval_sql(),
         "dedup_keep_list_transitive": OT.dedup_keep_list_transitive_sql(),
         "dedup_simhash64_banded": OT.simhash64_near_dup_pairs_sql(),
         "ann_ivf_nprobe": OT.ivf_ann_sql(nprobe=2),
+        # r5: Lloyd means are 6dp fixed-point inside the training loop, so
+        # the trained-IVF ANN is hash-oracle-able (was rows-only in r3/r4)
+        "ann_ivf_trained": OT.ivf_ann_trained_sql(),
         "snapshot_rename_move_map": OR.snapshot_mapping_sql(),
         "guard_fact_lookup": oracles.with_routed(
             sf,

@@ -306,9 +306,17 @@ def ivf_train_centroids(
     iteration is one broadcast join + one (cell, pos)-keyed aggregation —
     the standard distributed k-means step.
 
-    Verified by recall (pytest): trained cells beat the untrained stride
-    quantizer at equal nprobe (float means make exact cross-engine hashing
-    inappropriate, so the ANN query over these is rows-only)."""
+    Cross-engine determinism (VERDICT r04 #8): each Lloyd mean is rounded
+    to 6dp FIXED POINT inside the loop and kept as double (no float
+    re-quantization), so the trained centroids — and therefore the ANN
+    result over them — are bit-identical to the unrolled-SQL oracle
+    (oracles_training.ivf_ann_trained_sql): assignments rank on
+    6dp-rounded cosine with centroid_id tie-breaks, means round to 6dp
+    before feeding the next iteration. The only residual risk is a mean
+    landing within ~1e-15 of a rounding boundary (summation-order
+    epsilon), the same accepted risk class as every cosine oracle here.
+    Recall quality additionally pinned in pytest (trained cells beat the
+    stride quantizer at equal nprobe)."""
     cents = _ivf_centroids(emb)
     for _ in range(iters):
         assigned = (
@@ -320,7 +328,7 @@ def ivf_train_centroids(
             "cell", F.posexplode("embedding").alias("pos", "val")
         )
         means = pos.groupBy("cell", "pos").agg(
-            F.avg(F.col("val").cast("double")).alias("m")
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
         )
         cents = (
             means.groupBy("cell")
@@ -331,9 +339,7 @@ def ivf_train_centroids(
             )
             .select(
                 F.col("cell").alias("centroid_id"),
-                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias(
-                    "cent_emb"
-                ),
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cent_emb"),
             )
             .localCheckpoint(eager=True)  # bound the iteration's plan depth
         )

@@ -121,6 +121,26 @@ that cost 1,293s in round 4. The min-label fixpoint is O(log diameter)
 rounds via pointer doubling. Per-stage physical plans: PLANS.md
 §production-day.
 """
+    fanout = os.path.join(REPO, "BENCH_fanout.json")
+    if os.path.exists(fanout):
+        fo = json.load(open(fanout))
+        iso = fo["isolated_trials_sec"]
+        aft = fo["after_retrieval_trials_sec"]
+        md += f"""
+## sink_fanout_write re-measurement (`scripts/fanout_bench.py`, raw: `BENCH_fanout.json`)
+
+BENCH_r04 recorded 102.6s vs r03's 29.4s with the write path
+code-unchanged (VERDICT r04 #1). Interleaved trials in one session at the
+same scale ({fo["n_turns"]:,} turns), isolated vs the exact r4 sequence
+(tfidf+bm25 benches immediately before the write):
+
+| leg | trials (s) | median (s) |
+|---|---|---|
+| isolated | {", ".join(str(x) for x in iso)} | {fo["isolated_median_sec"]} |
+| after tfidf+bm25 (r4 sequence) | {", ".join(str(x) for x in aft)} | {fo["after_retrieval_median_sec"]} |
+
+Reference points: r03 29.4s, r04 102.6s. Verdict: {"the r4 figure was a sandbox I/O noise window — both medians sit near the r3 number and the retrieval benches do not inflate the write" if max(fo["isolated_median_sec"], fo["after_retrieval_median_sec"]) < 1.5 * fo["r03_reference_sec"] else "see BENCH_fanout.json — the regression reproduces and needs the root-cause note below"}.
+"""
     skew = os.path.join(REPO, "BENCH_skew.json")
     if os.path.exists(skew):
         s = json.load(open(skew))
