@@ -385,9 +385,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return SIM.ivf_ann_nprobe(spark, sf_dir, nprobe=2)
 
+    from cca_spark.operators import decontam as DC
+    from cca_spark.operators import redact as RED
+
     # ---- head 1: round-5 new or behavior-changed operators
     changed = {
         "streaming_dedup_ttl": q_streaming_dedup_ttl,  # new r5
+        "pii_scrub": RED.pii_scrub,  # new r5
+        "ngram_decontaminate": DC.ngram_decontaminate,  # new r5
+        "repetition_filter": DC.repetition_filter,  # new r5
         "ann_ivf_trained": SIM.ivf_ann_trained,  # hash-oracled r5 (6dp Lloyd)
         "bm25_retrieval": TS.bm25_retrieval,  # TakeOrderedAndProject top-k (r5)
         "tfidf_top_terms": TS.tfidf_top_terms,  # lazy DISK_ONLY tf cache (r5)
@@ -556,6 +562,9 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     training = {
+        "pii_scrub": OT.pii_scrub_sql(),
+        "ngram_decontaminate": OT.ngram_decontaminate_sql(),
+        "repetition_filter": OT.repetition_filter_sql(),
         "lang_id_heuristic": OT.lang_id_sql(),
         "quality_score": OT.quality_score_sql(),
         "token_count": OT.token_count_sql(),

@@ -150,6 +150,16 @@ def _run_secondary(bench, spark, sf_dir, transcripts) -> None:
 
     bench("tfidf_top_terms", lambda: TS.tfidf_top_terms(spark, sf_dir).count())
     bench("bm25_retrieval", lambda: TS.bm25_retrieval(spark, sf_dir).count())
+    # corpus hygiene (r5): scrub + decontamination scan-path ops
+    from cca_spark.operators import decontam as DC
+    from cca_spark.operators import redact as RED
+
+    bench("pii_scrub", lambda: RED.pii_scrub(spark, sf_dir).count())
+    bench(
+        "ngram_decontaminate",
+        lambda: DC.ngram_decontaminate(spark, sf_dir).count(),
+    )
+    bench("repetition_filter", lambda: DC.repetition_filter(spark, sf_dir).count())
 
     # production sink path: fan-out write partitioned by (sink, date_bucket)
     import shutil

@@ -125,7 +125,10 @@ LSH_BUCKET_CAP = 64
 
 
 def lsh_verified_pairs(
-    corpus: DataFrame, threshold: float = 0.5, bucket_cap: int = LSH_BUCKET_CAP
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """The LSH pipeline over an arbitrary (doc_id, text) corpus.
 
@@ -150,8 +153,28 @@ def lsh_verified_pairs(
     buckets in practice). The verify stage itself stays exact for every
     emitted candidate. Downstream connected-components dedup is unaffected
     whenever the hub verifies against bucket members (the star spans the
-    component). The DuckDB oracle mirrors the cap bit-for-bit."""
+    component). The DuckDB oracle mirrors the cap bit-for-bit.
+
+    ``max_shingle_df`` (optional, default off): drop shingles whose
+    document frequency exceeds the cutoff BEFORE min-hashing — the
+    complementary bound for boilerplate-heavy ORGANIC corpora (headers,
+    license blurbs, nav chrome shared by millions of unrelated pages pack
+    band buckets the way replicas do). The pruned stream feeds both the
+    signatures and the Jaccard verify, so "similarity" becomes similarity
+    over distinctive shingles — the standard stop-shingle semantics of
+    web-dedup pipelines. Off in the oracled driver queries; semantics
+    pinned by test_lsh_max_shingle_df_drops_boilerplate_candidates."""
     shingles = corpus_shingles(corpus).localCheckpoint(eager=True)
+    if max_shingle_df is not None:
+        dfreq = shingles.select("doc_id", "shingle").distinct().groupBy(
+            "shingle"
+        ).agg(F.count("*").alias("sh_df"))
+        shingles = (
+            shingles.join(
+                dfreq.filter(F.col("sh_df") > max_shingle_df), "shingle", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
     sigs = minhash_signatures(corpus, shingles=shingles)
     rows_per_band = N_MINHASHES // N_BANDS
     band_cols = []

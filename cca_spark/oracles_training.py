@@ -660,6 +660,112 @@ FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
 """
 
 
+def pii_scrub_sql() -> str:
+    """Oracle for redact.pii_scrub: identical derived PII corpus, identical
+    replacement order (email → ipv4 → hexkey → longnum; DuckDB needs the
+    'g' option for replace-all to match Spark's regexp_replace), counts on
+    the original text."""
+    from cca_spark.operators.redact import PII_RULES
+
+    scrub_expr = "text"
+    for _, pattern, placeholder in PII_RULES:
+        scrub_expr = f"regexp_replace({scrub_expr}, '{pattern}', '{placeholder}', 'g')"
+    count_cols = ",\n  ".join(
+        f"cast(len(regexp_extract_all(text, '{pattern}')) AS int) AS n_{name}"
+        for name, pattern, _ in PII_RULES
+    )
+    return f"""
+WITH pii AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 4 = 0
+        THEN ' contact user' || cast(doc_id AS varchar) || '@example.com' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN ' host 10.0.' || cast(doc_id % 256 AS varchar) || '.7' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0
+        THEN ' acct 900000000' || cast(doc_id AS varchar) ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+        THEN ' key ' || md5(cast(doc_id AS varchar)) ELSE '' END)
+    AS text
+  FROM documents
+)
+SELECT doc_id,
+  {count_cols},
+  {scrub_expr} AS scrubbed,
+  ({scrub_expr} <> text) AS was_redacted
+FROM pii
+"""
+
+
+def ngram_decontaminate_sql() -> str:
+    """Oracle for decontam.ngram_decontaminate: identical derived eval
+    set, identical 8-gram window. DuckDB list slicing t[i:i+7] is 1-based
+    inclusive == Spark slice(toks, i, 8); range(1, len-6) is empty for
+    docs shorter than 8 tokens, matching the Spark guard."""
+    from cca_spark.operators.decontam import EVAL_MOD, EVAL_RESIDUE, NGRAM_N
+
+    lo, hi = NGRAM_N - 2, NGRAM_N - 1  # range-stop offset / slice-end offset
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[cast(i AS int):cast(i AS int)+{hi}], ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {lo}, 1))) AS i FROM toks
+  )
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+hits AS (
+  SELECT gr.doc_id, count(*) AS n_shared_ngrams
+  FROM grams gr JOIN eval_grams e USING (g)
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+  cast(coalesce(h.n_shared_ngrams, 0) AS bigint) AS n_shared_ngrams,
+  (coalesce(h.n_shared_ngrams, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def repetition_filter_sql(
+    max_dup_token_ratio: float = 0.4, max_dup_bigram_ratio: float = 0.25
+) -> str:
+    """Oracle for decontam.repetition_filter (bigram window == slice
+    width 2, so the bigram list is t[i:i+1] over range(1, len(t)))."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bigs AS (
+  SELECT doc_id,
+    count(*) AS n_big,
+    count(DISTINCT array_to_string(t[cast(i AS int):cast(i AS int)+1], ' ')) AS n_big_distinct
+  FROM (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks
+  )
+  GROUP BY doc_id
+),
+base AS (
+  SELECT k.doc_id,
+    cast(len(t) AS int) AS n_tokens,
+    CASE WHEN len(t) > 0
+      THEN round((len(t) - len(list_distinct(t))) / cast(len(t) AS double), 6)
+      ELSE 0.0 END AS dup_token_ratio,
+    CASE WHEN coalesce(b.n_big, 0) > 0
+      THEN round((b.n_big - b.n_big_distinct) / cast(b.n_big AS double), 6)
+      ELSE 0.0 END AS dup_bigram_ratio
+  FROM toks k LEFT JOIN bigs b ON k.doc_id = b.doc_id
+)
+SELECT doc_id, n_tokens, dup_token_ratio, dup_bigram_ratio,
+  (dup_token_ratio <= {max_dup_token_ratio}
+   AND dup_bigram_ratio <= {max_dup_bigram_ratio}) AS passes_repetition
+FROM base
+"""
+
+
 def length_histogram_sql(bucket_width: int = 20) -> str:
     return f"""
 WITH toks AS (

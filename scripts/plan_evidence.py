@@ -55,6 +55,21 @@ AUDIT = [
     ),
     ("multimodal_payload_decode", "binary encode → Arrow payload decode (no shuffle)"),
     (
+        "pii_scrub",
+        "PII redaction (r5): regexp_replace chain — one codegen stage, "
+        "zero shuffle, zero join",
+    ),
+    (
+        "ngram_decontaminate",
+        "test-set decontamination (r5): 8-gram explode, BroadcastHashJoin "
+        "probe against the eval grams, partial+final per-doc count",
+    ),
+    (
+        "repetition_filter",
+        "repetition ratios (r5): array_distinct per row — one codegen "
+        "stage, zero shuffle",
+    ),
+    (
         "ann_ivf_trained",
         "trained-IVF ANN (r5: 6dp fixed-point Lloyd, hash-oracled): "
         "broadcast centroid assign, cell-local rerank",

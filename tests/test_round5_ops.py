@@ -159,3 +159,91 @@ def test_ivf_trained_matches_oracle(spark, sf_dir):
         min_rows=30,
         sf_dir=sf_dir,
     )
+
+
+def test_pii_scrub_matches_oracle(spark, sf_dir):
+    """PII redaction (new r5 training-data op): derived PII corpus,
+    replacement-order contract, per-type counts — bit-for-bit vs DuckDB."""
+    from cca_spark.operators.redact import pii_scrub
+    from cca_spark.oracles_training import pii_scrub_sql
+    from tests.util import assert_matches_oracle
+
+    df = pii_scrub(spark, sf_dir)
+    assert_matches_oracle(df, pii_scrub_sql(), min_rows=100, sf_dir=sf_dir)
+    # the scrub must actually fire: every 4th doc gained an email
+    got = df.toPandas()
+    assert got["was_redacted"].sum() >= len(got) // 4
+    assert "<EMAIL>" in got[got.doc_id % 4 == 0].iloc[0]["scrubbed"]
+    # and no raw email/hexkey survives a scrubbed text
+    assert not got["scrubbed"].str.contains("@example.com").any()
+
+
+def test_ngram_decontaminate_matches_oracle(spark, sf_dir):
+    """Test-set decontamination (new r5): 8-gram overlap vs the derived
+    eval subset, broadcast probe — bit-for-bit vs DuckDB."""
+    from cca_spark.operators.decontam import EVAL_MOD, EVAL_RESIDUE, ngram_decontaminate
+    from cca_spark.oracles_training import ngram_decontaminate_sql
+    from tests.util import assert_matches_oracle
+
+    df = ngram_decontaminate(spark, sf_dir)
+    assert_matches_oracle(df, ngram_decontaminate_sql(), min_rows=100, sf_dir=sf_dir)
+    got = df.toPandas()
+    # every eval-source doc is its own contamination hit (it shares all
+    # its 8-grams with the eval set), so the flag must fire for them all
+    evals = got[got.doc_id % EVAL_MOD == EVAL_RESIDUE]
+    assert evals["contaminated"].all()
+    # and the scrub is selective: clean docs exist
+    assert (~got["contaminated"]).any()
+
+
+def test_repetition_filter_matches_oracle(spark, sf_dir):
+    """Gopher-style repetition ratios (new r5): pure array expressions,
+    zero shuffle — bit-for-bit vs DuckDB."""
+    from cca_spark.operators.decontam import repetition_filter
+    from cca_spark.oracles_training import repetition_filter_sql
+    from tests.util import assert_matches_oracle
+
+    df = repetition_filter(spark, sf_dir)
+    assert_matches_oracle(df, repetition_filter_sql(), min_rows=100, sf_dir=sf_dir)
+
+
+def test_repetition_filter_flags_degenerate_text(spark):
+    """A doc that is one token repeated must fail the filter; ordinary
+    prose must pass."""
+    import pandas as pd
+
+    from cca_spark.operators.decontam import repetition_filter_over
+
+    rows = [
+        (1, "spam " * 50),
+        (2, "the quick brown fox jumps over the lazy dog near a river bank"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = repetition_filter_over(docs).toPandas().set_index("doc_id")
+    assert not got.loc[1, "passes_repetition"]
+    assert got.loc[2, "passes_repetition"]
+    assert got.loc[1, "dup_token_ratio"] > 0.9
+
+
+def test_lsh_max_shingle_df_drops_boilerplate_candidates(spark):
+    """Optional stop-shingle cutoff (VERDICT r04 #2 'and/or'): a
+    boilerplate prefix shared by EVERY doc must not make unrelated docs
+    near-dup candidates once shingles above the df cutoff are dropped,
+    while true near-dups (distinctive shared shingles) survive."""
+    import pandas as pd
+
+    from cca_spark.operators.dedup import lsh_verified_pairs
+
+    boiler = " ".join(f"header{i}" for i in range(20))
+    uniq = lambda d: " ".join(f"body{d}x{i}" for i in range(10))  # noqa: E731
+    rows = [(d, f"{boiler} {uniq(d)}") for d in range(8)]
+    # docs 100/101: true near-dups (same distinctive body, no boilerplate)
+    body = " ".join(f"shared{i}" for i in range(20))
+    rows += [(100, body + " tailA"), (101, body + " tailB")]
+    corpus = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    # without the cutoff the boilerplate dominates every signature: the 8
+    # unrelated docs all pair up (verify still rejects them on jaccard,
+    # but they all PAY the verify join)
+    with_cutoff = lsh_verified_pairs(corpus, threshold=0.5, max_shingle_df=4).toPandas()
+    assert set(map(tuple, with_cutoff[["doc_a", "doc_b"]].values)) == {(100, 101)}
