@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return SIM.ivf_ann_nprobe(spark, sf_dir, nprobe=2)
 
+    from cca_spark.operators import corpus_prep as CP
     from cca_spark.operators import decontam as DC
     from cca_spark.operators import redact as RED
 
@@ -394,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": RED.pii_scrub,  # new r5
         "ngram_decontaminate": DC.ngram_decontaminate,  # new r5
         "repetition_filter": DC.repetition_filter,  # new r5
+        "lm_unigram_score": CP.lm_unigram_logprob,  # new r5
+        "pack_token_budget": CP.pack_token_budget,  # new r5
         "ann_ivf_trained": SIM.ivf_ann_trained,  # hash-oracled r5 (6dp Lloyd)
         "bm25_retrieval": TS.bm25_retrieval,  # TakeOrderedAndProject top-k (r5)
         "tfidf_top_terms": TS.tfidf_top_terms,  # lazy DISK_ONLY tf cache (r5)
@@ -565,6 +568,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": OT.pii_scrub_sql(),
         "ngram_decontaminate": OT.ngram_decontaminate_sql(),
         "repetition_filter": OT.repetition_filter_sql(),
+        "lm_unigram_score": OT.lm_unigram_logprob_sql(),
+        "pack_token_budget": OT.pack_token_budget_sql(),
         "lang_id_heuristic": OT.lang_id_sql(),
         "quality_score": OT.quality_score_sql(),
         "token_count": OT.token_count_sql(),

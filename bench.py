@@ -160,6 +160,10 @@ def _run_secondary(bench, spark, sf_dir, transcripts) -> None:
         lambda: DC.ngram_decontaminate(spark, sf_dir).count(),
     )
     bench("repetition_filter", lambda: DC.repetition_filter(spark, sf_dir).count())
+    from cca_spark.operators import corpus_prep as CP
+
+    bench("lm_unigram_score", lambda: CP.lm_unigram_logprob(spark, sf_dir).count())
+    bench("pack_token_budget", lambda: CP.pack_token_budget(spark, sf_dir).count())
 
     # production sink path: fan-out write partitioned by (sink, date_bucket)
     import shutil

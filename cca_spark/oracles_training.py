@@ -766,6 +766,68 @@ FROM base
 """
 
 
+def lm_unigram_logprob_sql() -> str:
+    """Oracle for corpus_prep.lm_unigram_logprob: identical tokenization
+    (single-space split, empties dropped), per-token logp rounded to 6dp
+    then summed as DECIMAL (exact, order-independent), mean/ppl re-derived
+    the same way."""
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM freq),
+logp AS (
+  SELECT token,
+    cast(round(ln(cnt / cast(total AS double)), 6) AS decimal(20,6)) AS logp
+  FROM freq CROSS JOIN tot
+),
+per_doc AS (
+  SELECT t.doc_id,
+    cast(count(*) AS bigint) AS n_tokens,
+    sum(l.logp) AS sum_logp
+  FROM tok t JOIN logp l USING (token)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+  round(cast(sum_logp AS double) / n_tokens, 6) AS mean_logp,
+  round(exp(-round(cast(sum_logp AS double) / n_tokens, 6)), 6) AS unigram_ppl
+FROM per_doc
+"""
+
+
+def pack_token_budget_sql(budget: int | None = None, shards: int | None = None) -> str:
+    """Oracle for corpus_prep.pack_token_budget: shard-local cumulative
+    token counts, integer-exact bin arithmetic (// and %)."""
+    from cca_spark.operators.corpus_prep import PACK_BUDGET, PACK_SHARDS
+
+    budget = PACK_BUDGET if budget is None else budget
+    shards = PACK_SHARDS if shards is None else shards
+    return f"""
+WITH sized AS (
+  SELECT doc_id,
+    cast(doc_id % {shards} AS int) AS shard,
+    cast(len(list_filter(string_split(text, ' '), t -> t <> '')) AS bigint)
+      AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+    cast(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS bigint) - n_tokens AS cum_before
+  FROM sized
+)
+SELECT doc_id, shard, n_tokens,
+  cast(cum_before // {budget} AS int) AS bin_id,
+  cast(cum_before % {budget} AS bigint) AS offset_in_bin,
+  (n_tokens > {budget}) AS oversize
+FROM cum
+"""
+
+
 def length_histogram_sql(bucket_width: int = 20) -> str:
     return f"""
 WITH toks AS (

@@ -70,6 +70,16 @@ AUDIT = [
         "stage, zero shuffle",
     ),
     (
+        "lm_unigram_score",
+        "unigram LM scoring (r5): one corpus token shuffle, AQE-chosen "
+        "freq join, decimal-exact per-doc sum",
+    ),
+    (
+        "pack_token_budget",
+        "sequence packing (r5): shard-PARTITIONED cumsum window (no "
+        "global single-task sort), integer bin arithmetic",
+    ),
+    (
         "ann_ivf_trained",
         "trained-IVF ANN (r5: 6dp fixed-point Lloyd, hash-oracled): "
         "broadcast centroid assign, cell-local rerank",

@@ -225,6 +225,36 @@ def test_repetition_filter_flags_degenerate_text(spark):
     assert got.loc[1, "dup_token_ratio"] > 0.9
 
 
+def test_lm_unigram_logprob_matches_oracle(spark, sf_dir):
+    """Self-trained unigram LM scoring (new r5): decimal-summed 6dp token
+    log-probs — bit-for-bit vs DuckDB."""
+    from cca_spark.operators.corpus_prep import lm_unigram_logprob
+    from cca_spark.oracles_training import lm_unigram_logprob_sql
+    from tests.util import assert_matches_oracle
+
+    df = lm_unigram_logprob(spark, sf_dir)
+    assert_matches_oracle(df, lm_unigram_logprob_sql(), min_rows=100, sf_dir=sf_dir)
+
+
+def test_pack_token_budget_matches_oracle(spark, sf_dir):
+    """Sequence packing (new r5): shard-local integer bin arithmetic —
+    bit-for-bit vs DuckDB, plus the packing invariants."""
+    from cca_spark.operators.corpus_prep import PACK_BUDGET, pack_token_budget
+    from cca_spark.oracles_training import pack_token_budget_sql
+    from tests.util import assert_matches_oracle
+
+    df = pack_token_budget(spark, sf_dir)
+    assert_matches_oracle(df, pack_token_budget_sql(), min_rows=100, sf_dir=sf_dir)
+    got = df.toPandas()
+    # invariants: offsets sit inside the budget; bins are contiguous
+    # from 0 within every shard
+    assert (got["offset_in_bin"] < PACK_BUDGET).all()
+    assert (got["offset_in_bin"] >= 0).all()
+    for _, g in got.groupby("shard"):
+        bins = sorted(g["bin_id"].unique())
+        assert bins == list(range(len(bins)))
+
+
 def test_lsh_max_shingle_df_drops_boilerplate_candidates(spark):
     """Optional stop-shingle cutoff (VERDICT r04 #2 'and/or'): a
     boilerplate prefix shared by EVERY doc must not make unrelated docs
