@@ -329,11 +329,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 5 head (re-derived this round):
     (1) new/changed code — streaming_dedup_ttl (new: EventTimeTimeout
-        state eviction), ann_ivf_trained (newly hash-oracled via 6dp
-        fixed-point Lloyd means), bm25_retrieval (TakeOrderedAndProject
-        top-k), tfidf_top_terms (lazy DISK_ONLY tf cache),
-        dedup_minhash_lsh + dedup_keep_list_transitive (dense-bucket
-        hub-star cap, oracle changed in lockstep);
+        state eviction), pii_scrub + ngram_decontaminate +
+        repetition_filter + lm_unigram_score + pack_token_budget (new r5
+        corpus-hygiene/assembly family), ann_ivf_trained (newly
+        hash-oracled via 6dp fixed-point Lloyd means), bm25_retrieval
+        (TakeOrderedAndProject top-k), tfidf_top_terms (lazy DISK_ONLY tf
+        cache), dedup_minhash_lsh + dedup_keep_list_transitive
+        (dense-bucket hub-star cap, oracle changed in lockstep);
     (2) the 17 queries whose last driver row is r3 (r4's shadow plus
         ann_ivf_nprobe, which missed the r4 cap): pricing_summary, the 12
         relational/window/scalar queries, turn_ordering_invariant,

@@ -2,7 +2,8 @@
 user actually runs, as a single driver script (VERDICT r03 #7).
 
     resume-manifest ingest  ->  exact dedup  ->  transitive near-dup
-    keep-list  ->  quality/lang filter  ->  TF-IDF index
+    keep-list  ->  quality/lang filter  ->  TF-IDF index  ->
+    repetition gate + PII scrub  ->  token-budget sequence packing
 
 over the stored replicated transcript corpus (default 192 x sf0.1 =
 19.2M turns). Each stage reuses the SAME operator primitives the
@@ -269,6 +270,84 @@ def main() -> None:
                 "rows_in": n_filtered,
                 "rows_out": n_index_rows,
                 "indexed_docs": n_indexed_docs,
+            }
+        )
+
+        _release(spark)
+
+        # ---- stage 6 (r5): repetition gate + PII scrub — the hygiene
+        # steps between "filtered" and "trainable" (repetition_filter_over
+        # and pii_scrub_over are the SAME operators the battery oracles)
+        t0 = time.time()
+        from cca_spark.operators.decontam import repetition_filter_over
+        from cca_spark.operators.redact import pii_scrub_over
+
+        rep_ok = (
+            repetition_filter_over(filtered)
+            .filter("passes_repetition")
+            .select("doc_id")
+        )
+        scrubbed = (
+            pii_scrub_over(filtered.join(rep_ok, "doc_id", "left_semi"))
+            .localCheckpoint(eager=True)
+        )
+        n_scrubbed = scrubbed.count()
+        w = time.time() - t0
+        n_redacted = scrubbed.filter("was_redacted").count()
+        checks["scrub_is_subset"] = n_scrubbed <= n_filtered
+        checks["scrub_preserves_rows"] = (
+            n_scrubbed
+            == filtered.join(rep_ok, "doc_id", "left_semi").count()
+        )
+        stages.append(
+            {
+                "stage": "repetition_gate_pii_scrub",
+                "sec": round(w, 1),
+                "rows_in": n_filtered,
+                "rows_out": n_scrubbed,
+                "redacted_docs": n_redacted,
+            }
+        )
+
+        _release(spark)
+
+        # ---- stage 7 (r5): token-budget sequence packing of the clean
+        # scrubbed corpus — the batch-assembly step (pack_token_budget_over
+        # is the battery-oracled operator; shard-local cumsum windows)
+        t0 = time.time()
+        from cca_spark.operators.corpus_prep import (
+            PACK_BUDGET,
+            pack_token_budget_over,
+        )
+
+        packed = (
+            pack_token_budget_over(
+                scrubbed.select("doc_id", F.col("scrubbed").alias("text"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_packed = packed.count()
+        w = time.time() - t0
+        agg = packed.agg(
+            F.max("offset_in_bin").alias("max_off"),
+            F.countDistinct("shard", "bin_id").alias("n_bins"),
+            F.sum("n_tokens").alias("total_tokens"),
+        ).collect()[0]
+        checks["packing_preserves_rows"] = n_packed == n_scrubbed
+        checks["packing_offsets_within_budget"] = agg["max_off"] < PACK_BUDGET
+        # every (shard, bin) must hold at least one doc and the bin count
+        # can't exceed what the token volume plus per-bin slack admits
+        checks["packing_bin_count_bounded"] = (
+            agg["n_bins"] <= agg["total_tokens"] // PACK_BUDGET + packed.select("shard").distinct().count()
+        )
+        stages.append(
+            {
+                "stage": "sequence_packing",
+                "sec": round(w, 1),
+                "rows_in": n_scrubbed,
+                "rows_out": n_packed,
+                "bins": int(agg["n_bins"]),
+                "total_tokens": int(agg["total_tokens"]),
             }
         )
 

@@ -99,7 +99,8 @@ committed fact read-back equals the manifest's per-partition sums
 The composite a training-data user runs daily, as ONE driver script over
 the stored {p["n_turns"]:,}-turn corpus: resume-manifest ingest → exact
 dedup → transitive near-dup keep-list → quality/lang filter → TF-IDF
-index. Every stage reuses the operators the per-query battery checks;
+index → repetition gate + PII scrub → token-budget sequence packing.
+Every stage reuses the operators the per-query battery checks;
 stage boundaries are localCheckpointed so no stage silently recomputes
 its upstream (the cross-operator failure mode the battery can't see).
 Total {p["total_sec"]}s pipeline work (+ {p.get("verify_sec", 0)}s
@@ -221,7 +222,26 @@ def main() -> None:
         "windows (measured: identical 4N job 37.2s vs 46.9s). Pairing the "
         "legs close in time and reporting every round controls for that.",
     )
+    ap.add_argument(
+        "--report-only",
+        action="store_true",
+        help="re-render BENCH.md from the saved BENCH_scaling.json (and "
+        "sibling evidence JSONs) without re-measuring or touching the "
+        "history file — for folding updated sibling evidence into the doc",
+    )
     args = ap.parse_args()
+
+    if args.report_only:
+        saved = json.load(open(os.path.join(REPO, "BENCH_scaling.json")))
+        lo, hi, report = saved["low"], saved["high"], saved["report"]
+        rounds = [{"efficiency": e} for e in report["efficiency_rounds"]]
+        try:
+            hist = json.load(open(os.path.join(REPO, "BENCH_scaling_history.json")))
+        except (FileNotFoundError, ValueError):
+            hist = {"invocations": []}
+        _render_bench_md(args, lo, hi, report, rounds, hist, write_json=False)
+        print("BENCH.md re-rendered from saved evidence")
+        return
 
     rounds = []
     lo = hi = None
@@ -312,17 +332,29 @@ def main() -> None:
     )
     with open(hist_path, "w") as f:
         json.dump(hist, f, indent=2)
+
+    lo = {**lo, "value": rep["pipeline_sec_n"], "routed_turns_per_sec": thr_lo}
+    hi = {**hi, "value": rep["pipeline_sec_4n"], "routed_turns_per_sec": thr_hi}
+    _render_bench_md(args, lo, hi, report, rounds, hist, write_json=True)
+
+
+def _render_bench_md(args, lo, hi, report, rounds, hist, write_json: bool) -> None:
+    median_eff = report["efficiency_median"]
+    best_eff = report["efficiency_best"]
+    rep = min(rounds, key=lambda r: abs(r["efficiency"] - median_eff))
+    thr_lo = report["throughput_n"]
+    thr_hi = report["throughput_4n"]
+    speedup = report["speedup"]
     all_effs = sorted(
         e for inv in hist["invocations"] for e in inv["efficiency_rounds"]
     )
     overall_median = (
         all_effs[len(all_effs) // 2]
         if len(all_effs) % 2
-        else round((all_effs[len(all_effs) // 2 - 1] + all_effs[len(all_effs) // 2]) / 2, 3)
-    )
-
-    lo = {**lo, "value": rep["pipeline_sec_n"], "routed_turns_per_sec": thr_lo}
-    hi = {**hi, "value": rep["pipeline_sec_4n"], "routed_turns_per_sec": thr_hi}
+        else round(
+            (all_effs[len(all_effs) // 2 - 1] + all_effs[len(all_effs) // 2]) / 2, 3
+        )
+    ) if all_effs else median_eff
 
     md = f"""# BENCH — throughput & scaling evidence
 
@@ -351,7 +383,7 @@ in the representative round. All paired rounds (N leg and 4N leg measured
 back-to-back; this shared sandbox has minute-scale noise windows that hit
 the short 4N leg hardest — same 4N job measured 37.2s vs 46.9s in
 different windows):
-{", ".join(f"{r['efficiency']:.3f}" for r in rounds)} (median {median_eff:.3f}, best {best["efficiency"]:.3f}).
+{", ".join(f"{r['efficiency']:.3f}" for r in rounds)} (median {median_eff:.3f}, best {best_eff:.3f}).
 Cross-invocation history (`BENCH_scaling_history.json`): {len(all_effs)}
 paired rounds across {len(hist["invocations"])} invocations of this
 protocol, overall median {overall_median:.3f}, min {all_effs[0]:.3f}.
@@ -382,8 +414,9 @@ Raw JSON: see `BENCH_scaling.json`.
     md += _extra_evidence_sections()
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
-    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
-        json.dump({"low": lo, "high": hi, "report": report}, f, indent=2)
+    if write_json:
+        with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+            json.dump({"low": lo, "high": hi, "report": report}, f, indent=2)
 
 
 if __name__ == "__main__":
