@@ -142,27 +142,31 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _content_sig(path: str) -> str:
+    """mtime+size signature of a file or one-level directory — the shared
+    cache-key ingredient of both stream-staging helpers (a regenerated
+    parquet at the same path must invalidate any staged stream source)."""
+    sigs = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            sigs.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    else:
+        st = os.stat(path)
+        sigs.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(sigs)
+
+
 def _staged_stream_input(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the transcripts as a file-stream source dir (idempotent).
 
-    The cache tag is keyed on the INPUT CONTENT (mtime+size of the events
-    parquet) AND the derivation version: a regenerated parquet at the same
-    path or an edited transcript template must invalidate the staged
-    stream source, never silently reuse it."""
+    The cache tag is keyed on the INPUT CONTENT (via _content_sig) AND the
+    derivation version: a regenerated parquet at the same path or an
+    edited transcript template must invalidate the staged stream source,
+    never silently reuse it."""
     import hashlib
 
     from cca_spark.transcripts import TRANSCRIPTS_SQL, load_transcripts
-
-    def _content_sig(path: str) -> str:
-        sigs = []
-        if os.path.isdir(path):
-            for name in sorted(os.listdir(path)):
-                st = os.stat(os.path.join(path, name))
-                sigs.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
-        else:
-            st = os.stat(path)
-            sigs.append(f"{st.st_mtime_ns}:{st.st_size}")
-        return ";".join(sigs)
 
     events_path = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.md5(
@@ -193,17 +197,6 @@ def _staged_stream_input_ts_ordered(spark: SparkSession, sf_dir: str, n_chunks: 
     from cca_spark.transcripts import TRANSCRIPTS_SQL, load_transcripts
 
     events_path = os.path.join(sf_dir, "events.parquet")
-
-    def _content_sig(path: str) -> str:
-        sigs = []
-        if os.path.isdir(path):
-            for name in sorted(os.listdir(path)):
-                st = os.stat(os.path.join(path, name))
-                sigs.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
-        else:
-            st = os.stat(path)
-            sigs.append(f"{st.st_mtime_ns}:{st.st_size}")
-        return ";".join(sigs)
 
     tag = hashlib.md5(
         f"tsord|{sf_dir}|{_content_sig(events_path)}|{TRANSCRIPTS_SQL}|{n_chunks}".encode()

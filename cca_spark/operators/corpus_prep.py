@@ -110,11 +110,14 @@ def pack_token_budget_over(
     is the token count of all earlier docs in its shard (deterministic
     doc_id order). Docs longer than the budget are flagged oversize (prod
     splits them; flagging keeps the op relational and the contract
-    obvious). The demo shard key is ``doc_id % shards`` — deterministic
-    and dialect-shared; prod would hash."""
+    obvious). The demo shard key is ``pmod(doc_id, shards)`` —
+    deterministic, dialect-shared, and NON-NEGATIVE even for signed hash
+    ids (Spark's ``%`` keeps the dividend's sign, which would silently
+    double the shard count to 2×shards−1 on xxhash64-derived doc_ids, as
+    the production-day chain feeds in); prod would hash."""
     sized = docs.select(
         "doc_id",
-        (F.col("doc_id") % shards).cast("int").alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
         F.size(
             F.filter(F.split(F.col("text"), RETRIEVAL_DELIM), lambda t: t != "")
         )

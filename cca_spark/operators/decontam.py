@@ -27,16 +27,20 @@ Extends the reference's SLOC/metrics surface
 (/root/reference/python/src/cca/ccautil/sloc.py counts per-file token
 classes the same relational way) to corpus-hygiene semantics.
 
-Cross-engine contract: whitespace tokenization is the repo-standard
-``split(trim(text), '\\s+')`` == DuckDB ``string_split_regex``; n-grams
-are ``concat_ws(' ', slice(toks, i, N))`` == ``array_to_string(t[i:i+N-1],
-' ')``; ratios round to 6dp before comparison.
+Cross-engine contract: tokenization is THE retrieval tokenization
+(textstats.RETRIEVAL_DELIM — single-space split, empty tokens dropped),
+shared with tfidf/bm25/lm-scoring/packing so "n_tokens" means ONE thing
+across the whole r5 corpus family; n-grams are ``concat_ws(' ',
+slice(toks, i, N))`` == DuckDB ``array_to_string(t[i:i+N-1], ' ')``;
+ratios round to 6dp before comparison.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cca_spark.operators.textstats import RETRIEVAL_DELIM
 
 NGRAM_N = 8  # the Llama/GPT-3-style contamination window
 
@@ -45,7 +49,7 @@ EVAL_RESIDUE = 7
 
 
 def _toks() -> Column:
-    return F.split(F.trim(F.col("text")), r"\s+")
+    return F.filter(F.split(F.col("text"), RETRIEVAL_DELIM), lambda t: t != "")
 
 
 def _ngram_array(n: int) -> Column:

@@ -356,9 +356,12 @@ def ivf_ann_trained(
     emb: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN over TRAINED centroids (Lloyd-iterated) with multi-cell
-    probing — the production IVF configuration. Rows-only correctness
-    (see ivf_train_centroids); recall floor (>= 0.9 at nprobe<=4 on the
-    clustered corpus) asserted in pytest — on the driver's ISOTROPIC
+    probing — the production IVF configuration. FULLY hash-oracled as of
+    r5: Lloyd means are 6dp fixed-point (see ivf_train_centroids), so the
+    driver checks this against the unrolled-SQL Lloyd oracle
+    (oracles_training.ivf_ann_trained_sql) bit-for-bit. Additionally a
+    recall floor (>= 0.9 at nprobe<=4 on the
+    clustered corpus) is asserted in pytest — on the driver's ISOTROPIC
     random embeddings no sublinear ANN can reach that (see
     clustered_embeddings), so the floor is pinned where it is meaningful
     and the isotropic curve is reported in BENCH.md."""

@@ -699,15 +699,17 @@ FROM pii
 
 def ngram_decontaminate_sql() -> str:
     """Oracle for decontam.ngram_decontaminate: identical derived eval
-    set, identical 8-gram window. DuckDB list slicing t[i:i+7] is 1-based
-    inclusive == Spark slice(toks, i, 8); range(1, len-6) is empty for
-    docs shorter than 8 tokens, matching the Spark guard."""
+    set, identical 8-gram window, THE retrieval tokenization
+    (single-space split, empties dropped). DuckDB list slicing t[i:i+7]
+    is 1-based inclusive == Spark slice(toks, i, 8); range(1, len-6) is
+    empty for docs shorter than 8 tokens, matching the Spark guard."""
     from cca_spark.operators.decontam import EVAL_MOD, EVAL_RESIDUE, NGRAM_N
 
     lo, hi = NGRAM_N - 2, NGRAM_N - 1  # range-stop offset / slice-end offset
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS t
+  FROM documents
 ),
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(t[cast(i AS int):cast(i AS int)+{hi}], ' ') AS g
@@ -734,10 +736,12 @@ def repetition_filter_sql(
     max_dup_token_ratio: float = 0.4, max_dup_bigram_ratio: float = 0.25
 ) -> str:
     """Oracle for decontam.repetition_filter (bigram window == slice
-    width 2, so the bigram list is t[i:i+1] over range(1, len(t)))."""
+    width 2, so the bigram list is t[i:i+1] over range(1, len(t)));
+    retrieval tokenization, same as the decontaminate oracle."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, text, list_filter(string_split(text, ' '), tk -> tk <> '') AS t
+  FROM documents
 ),
 bigs AS (
   SELECT doc_id,
@@ -807,7 +811,7 @@ def pack_token_budget_sql(budget: int | None = None, shards: int | None = None) 
     return f"""
 WITH sized AS (
   SELECT doc_id,
-    cast(doc_id % {shards} AS int) AS shard,
+    cast(((doc_id % {shards}) + {shards}) % {shards} AS int) AS shard,
     cast(len(list_filter(string_split(text, ' '), t -> t <> '')) AS bigint)
       AS n_tokens
   FROM documents

@@ -57,6 +57,12 @@ def main() -> None:
     n_turns = transcripts.count()
 
     def release() -> None:
+        # clearCache drains persist()-based caches (tfidf's lazy DISK_ONLY
+        # tf cache holds a STRONG CacheManager reference GC never frees) so
+        # the next "isolated" leg truly starts cache-free; the
+        # after_retrieval leg deliberately runs WITHOUT this, replicating
+        # the exact r4 sequence with retrieval blocks still resident
+        spark.catalog.clearCache()
         gc.collect()
         spark._jvm.System.gc()
         time.sleep(2)  # let the async ContextCleaner drain

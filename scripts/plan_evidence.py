@@ -88,20 +88,15 @@ AUDIT = [
 
 
 def production_day_stages(spark, sf: str):
-    """The five production-day stage DataFrames (scripts/production_day.py
-    dataflow, same operator functions) rebuilt at sf0.01 so their physical
-    plans can be audited without the 25-minute run (VERDICT r04 #7). Stage
-    boundaries are localCheckpointed in the real script; here each stage
-    consumes a checkpointed upstream the same way, so the printed plan is
-    exactly the per-stage work (no silent upstream recomputation)."""
-    from pyspark.sql import functions as F
-
-    from cca_spark.operators.dedup import connected_min_labels, lsh_verified_pairs
-    from cca_spark.operators.textstats import (
-        lang_id_over,
-        quality_score_over,
-        tfidf_top_terms_over,
-    )
+    """The production-day stage DataFrames rebuilt at sf0.01 so their
+    physical plans can be audited without the 25-minute run (VERDICT r04
+    #7). Dataflow comes from the SHARED builders in cca_spark/chain.py —
+    the same functions scripts/production_day.py executes, so this audit
+    cannot drift from the pipeline that runs. Stage boundaries are
+    localCheckpointed in the real script; here each stage consumes a
+    checkpointed upstream the same way, so the printed plan is exactly the
+    per-stage work (no silent upstream recomputation)."""
+    from cca_spark import chain
     from cca_spark.plans.pipeline import routed_facts
     from cca_spark.transcripts import load_transcripts
 
@@ -109,37 +104,27 @@ def production_day_stages(spark, sf: str):
     stages = []
     # stage 1 (ingest): the routed fact stream the per-wave write persists
     stages.append(("ingest_routed_facts", routed_facts(spark, corpus)))
-    docs = corpus.select(F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text")
-    groups = (
-        docs.groupBy(F.md5("text").alias("text_md5"))
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-    )
+    docs = chain.turns_as_docs(corpus)
+    groups = chain.exact_dedup_groups(docs)
     stages.append(("exact_dedup_groups", groups))
-    survivors = (
-        groups.localCheckpoint(eager=True).join(docs, "doc_id").select("doc_id", "text")
+    survivors = chain.exact_dedup_survivors(
+        groups.localCheckpoint(eager=True), docs
     )
     stages.append(("exact_dedup_survivors", survivors))
     surv_ck = survivors.localCheckpoint(eager=True)
-    pairs = lsh_verified_pairs(surv_ck)
-    labels = connected_min_labels(pairs)
-    kept = (
-        surv_ck.join(labels, "doc_id", "left")
-        .filter(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
-        .select("doc_id", "text")
-    )
+    labels = chain.near_dup_labels(surv_ck)
+    kept = chain.apply_keep_list(surv_ck, labels)
     stages.append(("near_dup_keep_list", kept))
     kept_ck = kept.localCheckpoint(eager=True)
-    good_q = (
-        quality_score_over(kept_ck)
-        .filter("n_chars >= 60 AND punct_ratio < 0.2 AND stopword_ratio > 0.05")
-        .select("doc_id")
-    )
-    good_l = lang_id_over(kept_ck, extra_cols=()).filter("lang_guess = 'en'").select("doc_id")
-    filtered = kept_ck.join(good_q, "doc_id", "left_semi").join(
-        good_l, "doc_id", "left_semi"
-    )
+    filtered = chain.quality_lang_filtered(kept_ck)
     stages.append(("quality_lang_filter", filtered))
-    stages.append(("tfidf_index", tfidf_top_terms_over(filtered.localCheckpoint(eager=True), k=3)))
+    filt_ck = filtered.localCheckpoint(eager=True)
+    stages.append(("tfidf_index", chain.build_tfidf_index(filt_ck, k=3)))
+    scrubbed = chain.repetition_scrubbed(filt_ck)
+    stages.append(("repetition_gate_pii_scrub", scrubbed))
+    stages.append(
+        ("sequence_packing", chain.pack_sequences(scrubbed.localCheckpoint(eager=True)))
+    )
     return stages
 
 

@@ -37,9 +37,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _release(spark) -> None:
     """Free dropped checkpoint/shuffle blocks between stages (the same
     discipline as bench.py): the ContextCleaner frees them on weak-ref GC,
-    which otherwise lands mid-next-stage and inflates walls/heap."""
+    which otherwise lands mid-next-stage and inflates walls/heap. Also
+    drain CacheManager: persist()-based caches (e.g. tfidf's lazy
+    DISK_ONLY tf cache) hold a STRONG reference until explicit
+    unpersist/clearCache — GC alone never frees them, and a corpus-sized
+    cache pinned across stages is exactly the disk hazard the wave
+    discipline exists to avoid. localCheckpoints are NOT in CacheManager,
+    so stage boundaries survive this."""
     import gc
 
+    spark.catalog.clearCache()
     gc.collect()
     spark._jvm.System.gc()
 
@@ -48,13 +55,8 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 192
     from pyspark.sql import functions as F
 
+    from cca_spark import chain
     from cca_spark.bench_corpus import ensure_bench_corpus, read_bench_corpus
-    from cca_spark.operators.dedup import connected_min_labels, lsh_verified_pairs
-    from cca_spark.operators.textstats import (
-        lang_id_over,
-        quality_score_over,
-        tfidf_top_terms_over,
-    )
     from cca_spark.plans.manifest import read_facts, read_manifest, run_with_resume
     from cca_spark.session import get_spark
 
@@ -152,18 +154,14 @@ def main() -> None:
 
         _release(spark)
 
-        # ---- stage 2: exact dedup (turns as documents)
+        # ---- stage 2: exact dedup (turns as documents); stage dataflow
+        # is the SHARED builders in cca_spark/chain.py — the same
+        # expressions scripts/plan_evidence.py audits, by construction
         t0 = time.time()
-        docs = corpus.select(
-            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
-        )
-        groups = (
-            docs.groupBy(F.md5("text").alias("text_md5"))
-            .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-            .localCheckpoint(eager=True)
-        )
-        survivors = (
-            groups.join(docs, "doc_id").select("doc_id", "text").localCheckpoint(eager=True)
+        docs = chain.turns_as_docs(corpus)
+        groups = chain.exact_dedup_groups(docs).localCheckpoint(eager=True)
+        survivors = chain.exact_dedup_survivors(groups, docs).localCheckpoint(
+            eager=True
         )
         n_exact_survivors = survivors.count()
         w = time.time() - t0
@@ -185,14 +183,8 @@ def main() -> None:
 
         # ---- stage 3: transitive near-dup keep-list on the survivors
         t0 = time.time()
-        pairs = lsh_verified_pairs(survivors)
-        labels = connected_min_labels(pairs, max_iters=30)
-        kept = (
-            survivors.join(labels, "doc_id", "left")
-            .filter(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
-            .select("doc_id", "text")
-            .localCheckpoint(eager=True)
-        )
+        labels = chain.near_dup_labels(survivors, max_iters=30)
+        kept = chain.apply_keep_list(survivors, labels).localCheckpoint(eager=True)
         n_kept = kept.count()
         w = time.time() - t0
         n_labeled = labels.count()
@@ -213,31 +205,11 @@ def main() -> None:
 
         _release(spark)
 
-        # ---- stage 4: quality + language filter. Columns come from the
-        # SAME operators the battery checks (quality_score_over /
-        # lang_id_over); the thresholds are corpus POLICY: the default
-        # passes_quality gate is tuned for prose (chars>=100, punct<0.1,
-        # stopwords>0.05) and passes 0% of log-like turn text (measured
-        # medians: 73 chars, 0.127 punct, 0.10 stopword ratio), so the
-        # demo applies the log-corpus policy below instead.
+        # ---- stage 4: quality + language filter (battery-checked
+        # operators; thresholds are the log-corpus POLICY — see
+        # chain.LOG_QUALITY_POLICY for the prose-default rationale)
         t0 = time.time()
-        good_q = (
-            quality_score_over(kept)
-            .filter(
-                "n_chars >= 60 AND punct_ratio < 0.2 AND stopword_ratio > 0.05"
-            )
-            .select("doc_id")
-        )
-        good_l = (
-            lang_id_over(kept, extra_cols=())
-            .filter("lang_guess = 'en'")
-            .select("doc_id")
-        )
-        filtered = (
-            kept.join(good_q, "doc_id", "left_semi")
-            .join(good_l, "doc_id", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        filtered = chain.quality_lang_filtered(kept).localCheckpoint(eager=True)
         n_filtered = filtered.count()
         w = time.time() - t0
         checks["filter_is_subset"] = n_filtered <= n_kept
@@ -254,7 +226,7 @@ def main() -> None:
 
         # ---- stage 5: TF-IDF top-3 index over the filtered corpus
         t0 = time.time()
-        idx = tfidf_top_terms_over(filtered, k=3).localCheckpoint(eager=True)
+        idx = chain.build_tfidf_index(filtered, k=3).localCheckpoint(eager=True)
         n_index_rows = idx.count()
         w = time.time() - t0
         n_indexed_docs = idx.select("doc_id").distinct().count()
@@ -276,28 +248,24 @@ def main() -> None:
         _release(spark)
 
         # ---- stage 6 (r5): repetition gate + PII scrub — the hygiene
-        # steps between "filtered" and "trainable" (repetition_filter_over
-        # and pii_scrub_over are the SAME operators the battery oracles)
+        # steps between "filtered" and "trainable" (battery-oracled
+        # operators via the shared chain builder)
         t0 = time.time()
-        from cca_spark.operators.decontam import repetition_filter_over
-        from cca_spark.operators.redact import pii_scrub_over
-
-        rep_ok = (
-            repetition_filter_over(filtered)
-            .filter("passes_repetition")
-            .select("doc_id")
-        )
-        scrubbed = (
-            pii_scrub_over(filtered.join(rep_ok, "doc_id", "left_semi"))
-            .localCheckpoint(eager=True)
-        )
+        scrubbed = chain.repetition_scrubbed(filtered).localCheckpoint(eager=True)
         n_scrubbed = scrubbed.count()
         w = time.time() - t0
         n_redacted = scrubbed.filter("was_redacted").count()
         checks["scrub_is_subset"] = n_scrubbed <= n_filtered
-        checks["scrub_preserves_rows"] = (
-            n_scrubbed
-            == filtered.join(rep_ok, "doc_id", "left_semi").count()
+        # completeness: NO scrubbed text may still match any PII pattern
+        # (placeholders contain no digits/@, so replacement cannot create
+        # new matches — a residual match means the scrub missed one)
+        from cca_spark.operators.redact import PII_RULES
+
+        residual = F.lit(False)
+        for _name, pattern, _ph in PII_RULES:
+            residual = residual | F.col("scrubbed").rlike(pattern)
+        checks["scrub_leaves_no_residual_pii"] = (
+            scrubbed.filter(residual).count() == 0
         )
         stages.append(
             {
@@ -312,20 +280,12 @@ def main() -> None:
         _release(spark)
 
         # ---- stage 7 (r5): token-budget sequence packing of the clean
-        # scrubbed corpus — the batch-assembly step (pack_token_budget_over
-        # is the battery-oracled operator; shard-local cumsum windows)
+        # scrubbed corpus — the batch-assembly step (battery-oracled
+        # operator via the shared chain builder; shard-local cumsum)
         t0 = time.time()
-        from cca_spark.operators.corpus_prep import (
-            PACK_BUDGET,
-            pack_token_budget_over,
-        )
+        from cca_spark.operators.corpus_prep import PACK_BUDGET
 
-        packed = (
-            pack_token_budget_over(
-                scrubbed.select("doc_id", F.col("scrubbed").alias("text"))
-            )
-            .localCheckpoint(eager=True)
-        )
+        packed = chain.pack_sequences(scrubbed).localCheckpoint(eager=True)
         n_packed = packed.count()
         w = time.time() - t0
         agg = packed.agg(

@@ -234,6 +234,13 @@ def main() -> None:
     if args.report_only:
         saved = json.load(open(os.path.join(REPO, "BENCH_scaling.json")))
         lo, hi, report = saved["low"], saved["high"], saved["report"]
+        # render under the SAVED run's parameters, not this invocation's
+        # argparse defaults — BENCH.md must describe the configuration the
+        # saved numbers were measured under
+        args.n = report["n_cores"]
+        args.n4 = report["n4_cores"]
+        args.sf_dir = report["sf"]
+        args.replicas = report["replicas"]
         rounds = [{"efficiency": e} for e in report["efficiency_rounds"]]
         try:
             hist = json.load(open(os.path.join(REPO, "BENCH_scaling_history.json")))
@@ -386,7 +393,7 @@ different windows):
 {", ".join(f"{r['efficiency']:.3f}" for r in rounds)} (median {median_eff:.3f}, best {best_eff:.3f}).
 Cross-invocation history (`BENCH_scaling_history.json`): {len(all_effs)}
 paired rounds across {len(hist["invocations"])} invocations of this
-protocol, overall median {overall_median:.3f}, min {all_effs[0]:.3f}.
+protocol, overall median {overall_median:.3f}, min {(all_effs[0] if all_effs else median_eff):.3f}.
 
 **Why N=4 / 4N=16 on this 32-CPU host:** every Arrow-UDF task occupies
 ~2 CPU threads — a JVM task thread (parquet decode, Arrow encode,

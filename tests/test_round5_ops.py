@@ -255,6 +255,21 @@ def test_pack_token_budget_matches_oracle(spark, sf_dir):
         assert bins == list(range(len(bins)))
 
 
+def test_pack_token_budget_negative_ids_shard_nonnegative(spark):
+    """Signed hash doc_ids (the production-day chain feeds xxhash64) must
+    land in [0, shards) — Spark's % keeps the dividend's sign, which
+    would silently double the shard count; pmod pins the contract."""
+    import pandas as pd
+
+    from cca_spark.operators.corpus_prep import PACK_SHARDS, pack_token_budget_over
+
+    rows = [(-5, "a b c"), (-(2**62), "d e"), (7, "f g h i")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = pack_token_budget_over(docs).toPandas()
+    assert (got["shard"] >= 0).all()
+    assert (got["shard"] < PACK_SHARDS).all()
+
+
 def test_lsh_max_shingle_df_drops_boilerplate_candidates(spark):
     """Optional stop-shingle cutoff (VERDICT r04 #2 'and/or'): a
     boilerplate prefix shared by EVERY doc must not make unrelated docs
