@@ -323,7 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5 head (re-derived this round):
     (1) new/changed code — streaming_dedup_ttl (new: EventTimeTimeout
         state eviction), pii_scrub + ngram_decontaminate +
-        repetition_filter + lm_unigram_score + pack_token_budget (new r5
+        repetition_filter + lm_unigram_score + pack_token_budget +
+        mixture_weighted_sample + ngram_containment (new r5
         corpus-hygiene/assembly family), ann_ivf_trained (newly
         hash-oracled via 6dp fixed-point Lloyd means), bm25_retrieval
         (TakeOrderedAndProject top-k), tfidf_top_terms (lazy DISK_ONLY tf
@@ -392,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": DC.repetition_filter,  # new r5
         "lm_unigram_score": CP.lm_unigram_logprob,  # new r5
         "pack_token_budget": CP.pack_token_budget,  # new r5
+        "mixture_weighted_sample": CP.mixture_weighted_sample,  # new r5
+        "ngram_containment": DD.ngram_containment_pairs,  # new r5
         "ann_ivf_trained": SIM.ivf_ann_trained,  # hash-oracled r5 (6dp Lloyd)
         "bm25_retrieval": TS.bm25_retrieval,  # TakeOrderedAndProject top-k (r5)
         "tfidf_top_terms": TS.tfidf_top_terms,  # lazy DISK_ONLY tf cache (r5)
@@ -565,6 +568,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": OT.repetition_filter_sql(),
         "lm_unigram_score": OT.lm_unigram_logprob_sql(),
         "pack_token_budget": OT.pack_token_budget_sql(),
+        "mixture_weighted_sample": OT.mixture_weighted_sample_sql(),
+        "ngram_containment": OT.ngram_containment_sql(),
         "lang_id_heuristic": OT.lang_id_sql(),
         "quality_score": OT.quality_score_sql(),
         "token_count": OT.token_count_sql(),

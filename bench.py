@@ -164,6 +164,14 @@ def _run_secondary(bench, spark, sf_dir, transcripts) -> None:
 
     bench("lm_unigram_score", lambda: CP.lm_unigram_logprob(spark, sf_dir).count())
     bench("pack_token_budget", lambda: CP.pack_token_budget(spark, sf_dir).count())
+    bench(
+        "mixture_weighted_sample",
+        lambda: CP.mixture_weighted_sample(spark, sf_dir).count(),
+    )
+    bench(
+        "ngram_containment",
+        lambda: DD.ngram_containment_pairs(spark, sf_dir).count(),
+    )
 
     # production sink path: fan-out write partitioned by (sink, date_bucket)
     import shutil

@@ -1,7 +1,7 @@
 """Corpus-assembly operators for pre-training pipelines.
 
-Two steps between "clean corpus" and "training batches" that the
-hygiene family (dedup / quality / redact / decontam) doesn't cover:
+Steps between "clean corpus" and "training batches" that the hygiene
+family (dedup / quality / redact / decontam) doesn't cover:
 
 - **Unigram LM scoring** (``lm_unigram_logprob``): per-doc mean token
   log-probability under a unigram model trained on the corpus itself —
@@ -19,6 +19,12 @@ hygiene family (dedup / quality / redact / decontam) doesn't cover:
   task (the unpartitioned-window trap VERDICT r04 #3 flagged on bm25).
   Bin ids are (shard, local_bin) pairs; all arithmetic is integer-exact
   (``div``/``%``), no float in the path.
+
+- **Source-mixture sampling** (``mixture_weighted_sample``): per-source
+  keep-fractions applied by deterministic hash thresholding — the
+  domain-mixing step (weights are policy config; the sample must be
+  reproducible and per-source independent, both of which hash
+  thresholding gives for free and ``rand()`` does not).
 
 Float discipline (lm scoring): per-token log-probs round to 6dp then sum
 as ``decimal`` — exact and order-independent, so cross-engine hash parity
@@ -38,6 +44,23 @@ from cca_spark.operators.textstats import RETRIEVAL_DELIM, _doc_tokens_over
 
 PACK_BUDGET = 8192  # tokens per training sequence bin
 PACK_SHARDS = 32  # deterministic packing shards (prod: ~executor count)
+
+# source-mixture sampling weights (Pile/Dolma-style mixing config): four
+# policy tiers cycled across the synthetic src0..src19 sources; unknown
+# sources keep everything (fail-open — a mixing config must never
+# silently drop a source it doesn't know)
+MIXTURE_TIERS = (0.1, 0.35, 0.65, 1.0)
+MIXTURE_WEIGHTS = {f"src{i}": MIXTURE_TIERS[i % 4] for i in range(20)}
+MIXTURE_DEFAULT_WEIGHT = 1.0
+
+# 8-hex-digit hash space for the keep rule; w >= 1.0 maps to 'g', which
+# every 8-char lowercase-hex key sorts below — keep-all without a
+# special-case branch in either engine
+_MIX_SPACE = 16**8
+
+
+def mixture_threshold_hex(weight: float) -> str:
+    return "g" if weight >= 1.0 else format(int(weight * _MIX_SPACE), "08x")
 
 
 def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,3 +165,45 @@ def pack_token_budget_over(
 
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_budget_over(_read_docs(spark, sf_dir))
+
+
+def mixture_weighted_sample_over(
+    docs: DataFrame, weights: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic per-source weighted subsampling — the corpus-mixing
+    step (Pile/Dolma publish exactly such per-source weights; C4/CCNet
+    apply them the same way: a keep-fraction per provenance bucket).
+
+    Keep rule: the first 8 hex chars of ``md5(doc_id ':' source)`` sort
+    below the source's threshold ``hex(weight * 16^8)``. md5 hex is
+    byte-identical across Spark and DuckDB and the comparison is plain
+    ASCII string ordering, so the SAMPLE ITSELF is cross-engine exact —
+    not just its size. Seeding the hash with the source means reweighting
+    one source never perturbs another's sample (independent streams), and
+    re-running at a higher weight keeps a superset (thresholding one
+    fixed key stream = reservoir-stable).
+
+    Scale shape: pure per-row projection + filter (zero shuffle, zero
+    UDF, whole-stage codegen); the weights table is a CASE literal, not a
+    join — mixing configs are O(100) sources, never data-sized."""
+    w = MIXTURE_WEIGHTS if weights is None else weights
+    thr = F.lit(mixture_threshold_hex(MIXTURE_DEFAULT_WEIGHT))
+    wcol = F.lit(float(MIXTURE_DEFAULT_WEIGHT))
+    for src, weight in sorted(w.items()):
+        thr = F.when(F.col("source") == src, F.lit(mixture_threshold_hex(weight))).otherwise(thr)
+        wcol = F.when(F.col("source") == src, F.lit(float(weight))).otherwise(wcol)
+    key = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))),
+        1,
+        8,
+    )
+    return (
+        docs.select("doc_id", "source", wcol.alias("weight"), key.alias("sample_key"), thr.alias("thr"))
+        .filter(F.col("sample_key") < F.col("thr"))
+        .select("doc_id", "source", "weight", "sample_key")
+    )
+
+
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    return mixture_weighted_sample_over(docs)

@@ -243,6 +243,75 @@ def ngram_jaccard(
     )
 
 
+BOTTOM_K_SKETCH = 4  # bottom-k min-hash sketch size for containment blocking
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup: |A∩B| / |A| (and / |B|).
+
+    Jaccard misses subset relations — a short doc quoted whole inside a
+    long one has low Jaccard but containment 1.0; training pipelines
+    dedup those separately (the "document A is a chunk of document B"
+    case). Candidate blocking is a BOTTOM-K sketch join: each doc emits
+    its k smallest shingle md5s, pairs sharing any sketch hash become
+    candidates (for A ⊆ B, B's bottom-k are minima of a superset of A's
+    shingles, so sketch overlap is near-certain at high containment —
+    the standard sketch for containment, where a single min-fingerprint
+    block would miss supersets whose extra shingles hash lower). Exact
+    set intersection verifies candidates, like the Jaccard/LSH family.
+
+    Scale shape: sketch is k rows/doc (corpus-sized stream shrinks k×
+    before the self-join); the per-doc row_number window partitions by
+    doc_id (never funnels); hot sketch hashes = real duplicate clusters,
+    the same density the LSH bucket cap bounds (reference analog:
+    digest-prematch before expensive verify, analyzing.ml:1292-1326)."""
+    corpus = dedup_corpus(spark, sf_dir)
+    # one shingle explode pass shared by sketch, sizes and verify
+    shd = corpus_shingles(corpus).distinct().localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    hashes = shd.select("doc_id", F.md5("shingle").alias("h"))
+    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("h"))
+    bk = (
+        hashes.withColumn("rk", rk)
+        .filter(F.col("rk") <= BOTTOM_K_SKETCH)
+        .select("doc_id", "h")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cands = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a_in_b"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b_in_a"),
+        )
+    )
+    return scored.filter(
+        F.greatest("containment_a_in_b", "containment_b_in_a")
+        >= CONTAINMENT_THRESHOLD
+    )
+
+
 def ngram_jaccard_all_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: candidate pairs share a fingerprint
     (min shingle hash) block — the winnowing-bucket join. Output pairs with

@@ -843,3 +843,77 @@ SELECT bucket,
   count(*) AS n_docs
 FROM b GROUP BY bucket
 """
+
+def ngram_containment_sql() -> str:
+    """Oracle for dedup.ngram_containment_pairs: identical twin corpus,
+    identical bottom-k sketch blocking (row_number over md5(shingle) per
+    doc — md5 hex strings are a shared total order, so both engines pick
+    the same k sketch hashes), exact intersection verify."""
+    from cca_spark.operators.dedup import BOTTOM_K_SKETCH, CONTAINMENT_THRESHOLD
+
+    return f"""
+WITH {CORPUS_CTE},
+{SHINGLES_CTE},
+{SHINGLES_NONEMPTY},
+shd AS (SELECT DISTINCT doc_id, shingle FROM shn),
+bk AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, md5(shingle) AS h,
+      row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rk
+    FROM shd)
+  WHERE rk <= {BOTTOM_K_SKETCH}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shd sa ON sa.doc_id = c.doc_a
+  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+  round(i.n_inter / cast(na.n_sh AS double), 6) AS containment_a_in_b,
+  round(i.n_inter / cast(nb.n_sh AS double), 6) AS containment_b_in_a
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE greatest(round(i.n_inter / cast(na.n_sh AS double), 6),
+               round(i.n_inter / cast(nb.n_sh AS double), 6))
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+def mixture_weighted_sample_sql() -> str:
+    """Oracle for corpus_prep.mixture_weighted_sample: the same CASE
+    weight table (generated from the same dict), the same md5-prefix keep
+    rule — lowercase-hex string comparison is plain ASCII ordering in
+    both engines, so the sampled row SET matches bit-for-bit."""
+    from cca_spark.operators.corpus_prep import (
+        MIXTURE_DEFAULT_WEIGHT,
+        MIXTURE_WEIGHTS,
+        mixture_threshold_hex,
+    )
+
+    thr_cases = " ".join(
+        f"WHEN source = '{s}' THEN '{mixture_threshold_hex(w)}'"
+        for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    w_cases = " ".join(
+        f"WHEN source = '{s}' THEN {float(w)}"
+        for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+    cast(CASE {w_cases} ELSE {float(MIXTURE_DEFAULT_WEIGHT)} END AS double) AS weight,
+    substr(md5(cast(doc_id AS varchar) || ':' || source), 1, 8) AS sample_key,
+    CASE {thr_cases}
+      ELSE '{mixture_threshold_hex(MIXTURE_DEFAULT_WEIGHT)}' END AS thr
+  FROM documents
+)
+SELECT doc_id, source, weight, sample_key FROM keyed WHERE sample_key < thr
+"""

@@ -84,6 +84,16 @@ AUDIT = [
         "trained-IVF ANN (r5: 6dp fixed-point Lloyd, hash-oracled): "
         "broadcast centroid assign, cell-local rerank",
     ),
+    (
+        "mixture_weighted_sample",
+        "source-mixture sampling (r5): one codegen scan→filter→project, "
+        "2-column pruned read, zero shuffle, zero join",
+    ),
+    (
+        "ngram_containment",
+        "containment near-dup (r5): bottom-k sketch self-join blocking, "
+        "per-doc row_number window (doc_id-partitioned), exact verify",
+    ),
 ]
 
 

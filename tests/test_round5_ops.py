@@ -292,3 +292,79 @@ def test_lsh_max_shingle_df_drops_boilerplate_candidates(spark):
     # but they all PAY the verify join)
     with_cutoff = lsh_verified_pairs(corpus, threshold=0.5, max_shingle_df=4).toPandas()
     assert set(map(tuple, with_cutoff[["doc_a", "doc_b"]].values)) == {(100, 101)}
+
+def test_mixture_weighted_sample_matches_oracle(spark, sf_dir):
+    """Source-mixture weighted sampling (new r5): md5-prefix thresholding
+    per source — the sampled row SET is bit-for-bit vs DuckDB."""
+    from cca_spark.operators.corpus_prep import (
+        MIXTURE_WEIGHTS,
+        mixture_weighted_sample,
+    )
+    from cca_spark.oracles_training import mixture_weighted_sample_sql
+    from tests.util import assert_matches_oracle
+
+    df = mixture_weighted_sample(spark, sf_dir)
+    assert_matches_oracle(
+        df, mixture_weighted_sample_sql(), min_rows=50, sf_dir=sf_dir
+    )
+    got = df.toPandas()
+    totals = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")["count"]
+    )
+    kept = got.groupby("source").size()
+    # weight-1.0 sources keep every doc; fractional sources never exceed
+    # their total and the lowest tier visibly downsamples
+    for src, w in MIXTURE_WEIGHTS.items():
+        if w >= 1.0:
+            assert kept.get(src, 0) == totals[src], src
+        else:
+            assert kept.get(src, 0) <= totals[src], src
+    low = [s for s, w in MIXTURE_WEIGHTS.items() if w == 0.1]
+    assert sum(kept.get(s, 0) for s in low) < 0.5 * sum(totals[s] for s in low)
+
+
+def test_mixture_reweighting_superset_and_independent(spark):
+    """Raising one source's weight must grow its sample as a SUPERSET and
+    leave every other source's sample untouched — the property that makes
+    hash thresholding the right tool over rand()."""
+    import pandas as pd
+
+    from cca_spark.operators.corpus_prep import mixture_weighted_sample_over
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    s1 = mixture_weighted_sample_over(docs, {"a": 0.3, "b": 0.5}).toPandas()
+    s2 = mixture_weighted_sample_over(docs, {"a": 0.7, "b": 0.5}).toPandas()
+    a1 = set(s1[s1.source == "a"].doc_id)
+    a2 = set(s2[s2.source == "a"].doc_id)
+    assert a1 < a2  # strict superset at a higher weight
+    assert set(s1[s1.source == "b"].doc_id) == set(s2[s2.source == "b"].doc_id)
+
+
+def test_ngram_containment_matches_oracle_and_finds_subsets(spark, sf_dir):
+    """Asymmetric containment near-dup (new r5): bottom-k sketch blocking
+    + exact intersection verify — bit-for-bit vs DuckDB; every twin pair
+    (original ⊂ original+suffix) must surface with containment 1.0."""
+    from cca_spark.operators.dedup import ngram_containment_pairs
+    from cca_spark.oracles_training import ngram_containment_sql
+    from tests.util import assert_matches_oracle
+
+    df = ngram_containment_pairs(spark, sf_dir)
+    assert_matches_oracle(df, ngram_containment_sql(), min_rows=50, sf_dir=sf_dir)
+    got = df.toPandas()
+    twins = got[got.doc_b == got.doc_a + 1_000_000]
+    n_twin_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 3 = 0")
+        .count()
+    )
+    # the sketch must recover every subset pair, not a sample of them
+    assert len(twins) == n_twin_docs
+    assert (twins["containment_a_in_b"] == 1.0).all()
+    # asymmetry is the point: the twin is NOT fully contained in the
+    # original (it has suffix shingles the original lacks)
+    assert (twins["containment_b_in_a"] < 1.0).all()
