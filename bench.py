@@ -62,8 +62,13 @@ def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
     # slice is NOT enough — measured trials kept descending for ~4 runs
     # (27.9 -> 16.0s at local[16]) while the JVM JIT tiered up the
     # codegen'd scan/Arrow/shuffle paths and the Python worker pool
-    # filled. Timed trials must start at steady state.
-    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+    # filled. Timed trials must start at steady state. Default is 3:
+    # with a COLD page cache (measured right after a 200M-row chain run
+    # evicted it) 2 warmups left trials still descending 22.1 -> 10.1s,
+    # while 3 warmups put all six trials at 3.4-4.1s — identical to the
+    # hot-cache steady state, so the third warmup is what buys
+    # cache-state independence for the recorded headline.
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "3"))
     fused_pipeline_agg(spark, transcripts.limit(2000)).collect()
     for _ in range(warmups):
         fused_pipeline_agg(spark, transcripts).collect()
