@@ -105,7 +105,12 @@ stage boundaries are localCheckpointed so no stage silently recomputes
 its upstream (the cross-operator failure mode the battery can't see).
 Total {p["total_sec"]}s pipeline work (+ {p.get("verify_sec", 0)}s
 verification-only read-back, reported as its own stage row below); all
-{len(p["checks"])} arithmetic cross-checks pass ({p["all_checks_pass"]}).
+{len(p["checks"])} arithmetic cross-checks pass ({p["all_checks_pass"]}),
+including the r5 scrub completeness gate
+(`scrub_leaves_no_residual_pii`: no scrubbed text still matches any PII
+pattern). Stage dataflow is the shared builders in `cca_spark/chain.py`
+— the same expressions `scripts/plan_evidence.py` audits into PLANS.md,
+so the audited plans cannot drift from the pipeline that runs.
 
 | stage | rows in | rows out | wall (s) |
 |---|---|---|---|
