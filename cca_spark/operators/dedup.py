@@ -245,9 +245,12 @@ def ngram_jaccard(
 
 BOTTOM_K_SKETCH = 4  # bottom-k min-hash sketch size for containment blocking
 CONTAINMENT_THRESHOLD = 0.9
+SKETCH_BUCKET_CAP = 64  # hub-star cap on a sketch-hash bucket (see LSH_BUCKET_CAP)
 
 
-def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_containment_over(
+    corpus: DataFrame, bucket_cap: int = SKETCH_BUCKET_CAP
+) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT near-dup: |A∩B| / |A| (and / |B|).
 
     Jaccard misses subset relations — a short doc quoted whole inside a
@@ -263,10 +266,13 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: sketch is k rows/doc (corpus-sized stream shrinks k×
     before the self-join); the per-doc row_number window partitions by
-    doc_id (never funnels); hot sketch hashes = real duplicate clusters,
-    the same density the LSH bucket cap bounds (reference analog:
-    digest-prematch before expensive verify, analyzing.ml:1292-1326)."""
-    corpus = dedup_corpus(spark, sf_dir)
+    doc_id (never funnels). A sketch-hash bucket goes dense two ways —
+    a real duplicate cluster, OR a boilerplate shingle whose md5 is
+    globally small, landing in MANY unrelated docs' bottom-k — so
+    buckets beyond ``bucket_cap`` emit hub-star candidates only, the
+    same O(n)-per-bucket bound (and the same documented recall
+    tradeoff) as lsh_verified_pairs (reference analog: digest-prematch
+    before expensive verify, analyzing.ml:1292-1326)."""
     # one shingle explode pass shared by sketch, sizes and verify
     shd = corpus_shingles(corpus).distinct().localCheckpoint(eager=True)
     from pyspark.sql import Window
@@ -278,7 +284,17 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BOTTOM_K_SKETCH)
         .select("doc_id", "h")
     )
-    a, b = bk.alias("a"), bk.alias("b")
+    stats = bk.groupBy("h").agg(
+        F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_hub")
+    )
+    lhs = (
+        bk.join(stats, "h")
+        .filter(
+            (F.col("bucket_n") <= bucket_cap) | (F.col("doc_id") == F.col("bucket_hub"))
+        )
+        .select("doc_id", "h")
+    )
+    a, b = lhs.alias("a"), bk.alias("b")
     cands = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -310,6 +326,10 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("containment_a_in_b", "containment_b_in_a")
         >= CONTAINMENT_THRESHOLD
     )
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_over(dedup_corpus(spark, sf_dir))
 
 
 def ngram_jaccard_all_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -844,15 +844,23 @@ SELECT bucket,
 FROM b GROUP BY bucket
 """
 
-def ngram_containment_sql() -> str:
+def ngram_containment_sql(
+    corpus_cte: str = CORPUS_CTE, bucket_cap: int | None = None
+) -> str:
     """Oracle for dedup.ngram_containment_pairs: identical twin corpus,
     identical bottom-k sketch blocking (row_number over md5(shingle) per
     doc — md5 hex strings are a shared total order, so both engines pick
-    the same k sketch hashes), exact intersection verify."""
-    from cca_spark.operators.dedup import BOTTOM_K_SKETCH, CONTAINMENT_THRESHOLD
+    the same k sketch hashes), identical hub-star bucket cap, exact
+    intersection verify."""
+    from cca_spark.operators.dedup import (
+        BOTTOM_K_SKETCH,
+        CONTAINMENT_THRESHOLD,
+        SKETCH_BUCKET_CAP,
+    )
 
+    cap = SKETCH_BUCKET_CAP if bucket_cap is None else bucket_cap
     return f"""
-WITH {CORPUS_CTE},
+WITH {corpus_cte},
 {SHINGLES_CTE},
 {SHINGLES_NONEMPTY},
 shd AS (SELECT DISTINCT doc_id, shingle FROM shn),
@@ -863,9 +871,16 @@ bk AS (
     FROM shd)
   WHERE rk <= {BOTTOM_K_SKETCH}
 ),
+stats AS (
+  SELECT h, count(*) AS bucket_n, min(doc_id) AS bucket_hub FROM bk GROUP BY h
+),
+lhs AS (
+  SELECT bk.doc_id, bk.h FROM bk JOIN stats USING (h)
+  WHERE stats.bucket_n <= {cap} OR bk.doc_id = stats.bucket_hub
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bk a JOIN bk b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM lhs a JOIN bk b ON a.h = b.h AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
 inter AS (

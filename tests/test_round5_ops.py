@@ -368,3 +368,33 @@ def test_ngram_containment_matches_oracle_and_finds_subsets(spark, sf_dir):
     # asymmetry is the point: the twin is NOT fully contained in the
     # original (it has suffix shingles the original lacks)
     assert (twins["containment_b_in_a"] < 1.0).all()
+
+def test_containment_bucket_cap_active_matches_duckdb(spark):
+    """Sketch-bucket hub-star cap on the containment blocker: with the
+    60-doc replica family every doc shares its bottom-k sketch hashes, so
+    cap=8 is ACTIVE — Spark and the DuckDB oracle (same cap) must stay
+    bit-for-bit, and candidates must be star-shaped, not all-pairs."""
+    import duckdb
+
+    from cca_spark.operators.dedup import ngram_containment_over
+    from cca_spark.oracles_training import ngram_containment_sql
+    from tests.util import normalize
+
+    pdf = _dense_corpus_pdf()
+    got_df = ngram_containment_over(spark.createDataFrame(pdf), bucket_cap=8)
+    got = normalize(got_df.toPandas())
+    con = duckdb.connect()
+    con.register("dense_docs", pdf)
+    sql = ngram_containment_sql(
+        corpus_cte="corpus AS (SELECT doc_id, text FROM dense_docs)", bucket_cap=8
+    )
+    want = normalize(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 10
+    pd.testing.assert_frame_equal(got, want)
+    # hub-star bound: family pairs all involve the hub (doc 0), so the
+    # surviving pair count is O(n), far below the 1,770 all-pairs
+    raw = got_df.toPandas()
+    fam = raw[raw.doc_b < 100]
+    assert (fam.doc_a == 0).all()
+    assert len(fam) <= 59
