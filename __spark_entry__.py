@@ -324,8 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (1) new/changed code — streaming_dedup_ttl (new: EventTimeTimeout
         state eviction), pii_scrub + ngram_decontaminate +
         repetition_filter + lm_unigram_score + pack_token_budget +
-        mixture_weighted_sample + ngram_containment (new r5
-        corpus-hygiene/assembly family), ann_ivf_trained (newly
+        mixture_weighted_sample + ngram_containment +
+        dedup_canonical_by_quality (new r5 corpus-hygiene/assembly
+        family), ann_ivf_trained (newly
         hash-oracled via 6dp fixed-point Lloyd means), bm25_retrieval
         (TakeOrderedAndProject top-k), tfidf_top_terms (lazy DISK_ONLY tf
         cache), dedup_minhash_lsh + dedup_keep_list_transitive
@@ -400,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": TS.tfidf_top_terms,  # lazy DISK_ONLY tf cache (r5)
         "dedup_minhash_lsh": DD.minhash_lsh_pairs,  # dense-bucket cap (r5)
         "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,  # ditto
+        "dedup_canonical_by_quality": DD.dedup_canonical_by_quality,  # new r5
     }
     # ---- head 2: last driver row is r3 (r4's shadow + ann_ivf_nprobe
     # which missed the r4 cap) — every one gets a fresh CORRECTNESS_r05 row
@@ -529,6 +531,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_payload_decode": OT.multimodal_payload_decode_sql(),
         "bm25_retrieval": OT.bm25_retrieval_sql(),
         "dedup_keep_list_transitive": OT.dedup_keep_list_transitive_sql(),
+        # r5: keeper policy as a quality ranking (best member, not min id)
+        "dedup_canonical_by_quality": OT.dedup_canonical_by_quality_sql(),
         "dedup_simhash64_banded": OT.simhash64_near_dup_pairs_sql(),
         "ann_ivf_nprobe": OT.ivf_ann_sql(nprobe=2),
         # r5: Lloyd means are 6dp fixed-point inside the training loop, so

@@ -607,3 +607,68 @@ def dedup_keep_list_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_duplicate"
         ),
     )
+
+
+def canonical_by_quality_over(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Canonical-document selection within near-dup clusters: keep the
+    HIGHEST-QUALITY member of each verified-LSH connected component, not
+    the arbitrary min-id one. Real corpus pipelines dedupe toward the best
+    copy (the mirror without the nav chrome, the paste without the
+    truncation), so the keeper policy is a ranking, not an id accident —
+    the same keeper-choice step the reference applies when collapsing
+    clone chains to an origin (python/src/cca/ccautil/fragment.py:29-103).
+
+    Ranking key, mirrored bit-for-bit in the DuckDB oracle:
+    ``passes_quality DESC, stopword_ratio DESC, punct_ratio ASC,
+    doc_id ASC``. Both ratios come 6dp-pre-rounded from
+    ``quality_score_over`` so cross-engine float agreement is exact, and
+    the doc_id tail makes the ranking a total order (no ties, engine-
+    independent).
+
+    Scale shape: the cluster labels ride the already-checkpointed CC
+    output (pair-graph-sized, far smaller than the corpus); quality
+    metrics are scan-local whole-stage codegen; the canonical pick is ONE
+    hash-partitioned window per cluster_id (``first_value`` over the
+    ranking order — no second join back, no global window). Cluster sizes
+    are near-dup family sizes, bounded in practice by the LSH bucket cap's
+    hub-star shape, so no window partition goes quadratic."""
+    from pyspark.sql import Window
+
+    from cca_spark.operators.textstats import quality_score_over
+
+    pairs = lsh_verified_pairs(corpus, threshold=threshold)
+    labels = connected_min_labels(pairs)
+    q = quality_score_over(corpus)
+    ranked = q.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        "passes_quality",
+        "stopword_ratio",
+        "punct_ratio",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("passes_quality").desc(),
+        F.col("stopword_ratio").desc(),
+        F.col("punct_ratio").asc(),
+        F.col("doc_id").asc(),
+    )
+    # default frame (unboundedPreceding..currentRow) starts at the
+    # partition's rank-1 row, so first() IS the canonical pick for every
+    # member — one window, no rn=1 self-join
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("canonical_doc_id"),
+    ).select(
+        "doc_id",
+        "cluster_id",
+        "canonical_doc_id",
+        (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+    )
+
+
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: canonical-by-quality keeper over the chain corpus
+    (same multi-hop components as ``dedup_keep_list_transitive``, but the
+    keeper is the best-quality member instead of the min doc_id)."""
+    return canonical_by_quality_over(chain_corpus(spark, sf_dir))

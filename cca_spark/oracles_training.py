@@ -932,3 +932,56 @@ WITH keyed AS (
 )
 SELECT doc_id, source, weight, sample_key FROM keyed WHERE sample_key < thr
 """
+
+
+def dedup_canonical_by_quality_sql() -> str:
+    """Oracle for dedup.dedup_canonical_by_quality: the keep-list's
+    recursive reachability closure for cluster labels, plus the
+    quality_score ranking (6dp-rounded ratios, doc_id tail) picking each
+    cluster's canonical member via row_number=1 — mechanically different
+    from Spark's first_value window but value-identical because the
+    ranking is a total order."""
+    pairs = minhash_lsh_pairs_sql(CHAIN_CORPUS_CTE).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT re.doc_id, sym.d FROM reach re JOIN sym ON sym.s = re.r
+),
+labels AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY doc_id),
+{CHAIN_CORPUS_CTE},
+q AS (
+  SELECT c.doc_id,
+    coalesce(l.label, c.doc_id) AS cluster_id,
+    round(len(regexp_extract_all(c.text, '[^\\w\\s]'))
+          / cast(length(c.text) AS double), 6) AS punct_ratio,
+    round(len(regexp_extract_all(c.text, '{STOPWORD_RE}'))
+          / cast(len(string_split_regex(trim(c.text), '\\s+')) AS double), 6)
+      AS stopword_ratio,
+    (length(c.text) >= 100
+     AND len(regexp_extract_all(c.text, '[^\\w\\s]'))
+         / cast(length(c.text) AS double) < 0.1
+     AND len(regexp_extract_all(c.text, '{STOPWORD_RE}'))
+         / cast(len(string_split_regex(trim(c.text), '\\s+')) AS double) > 0.05)
+      AS passes_quality
+  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
+),
+canon AS (
+  SELECT cluster_id, doc_id AS canonical_doc_id FROM (
+    SELECT cluster_id, doc_id,
+      row_number() OVER (PARTITION BY cluster_id
+        ORDER BY passes_quality DESC, stopword_ratio DESC,
+                 punct_ratio ASC, doc_id ASC) AS rn
+    FROM q
+  ) WHERE rn = 1
+)
+SELECT q.doc_id, q.cluster_id, can.canonical_doc_id,
+  (q.doc_id <> can.canonical_doc_id) AS is_duplicate
+FROM q JOIN canon can ON q.cluster_id = can.cluster_id
+"""

@@ -94,6 +94,12 @@ AUDIT = [
         "containment near-dup (r5): bottom-k sketch self-join blocking, "
         "per-doc row_number window (doc_id-partitioned), exact verify",
     ),
+    (
+        "dedup_canonical_by_quality",
+        "canonical-by-quality keeper (r5): CC labels + ONE cluster_id-"
+        "partitioned first_value window — no global window, no rn=1 "
+        "self-join",
+    ),
 ]
 
 

@@ -398,3 +398,57 @@ def test_containment_bucket_cap_active_matches_duckdb(spark):
     fam = raw[raw.doc_b < 100]
     assert (fam.doc_a == 0).all()
     assert len(fam) <= 59
+
+
+def test_canonical_by_quality_matches_oracle_and_diverges_from_min_id(spark, sf_dir):
+    """Canonical-by-quality keeper (new r5): bit-for-bit vs the DuckDB
+    recursive-closure + ranking oracle, one canonical per cluster, and the
+    policy must actually differ from the min-id keep-list somewhere (else
+    it is the same operator twice)."""
+    from cca_spark.operators.dedup import dedup_canonical_by_quality
+    from cca_spark.oracles_training import dedup_canonical_by_quality_sql
+    from tests.util import assert_matches_oracle
+
+    df = dedup_canonical_by_quality(spark, sf_dir)
+    assert_matches_oracle(df, dedup_canonical_by_quality_sql(), min_rows=100, sf_dir=sf_dir)
+    got = df.toPandas()
+    per = got.groupby("cluster_id").agg(
+        n_canon=("is_duplicate", lambda s: int((~s).sum())),
+        min_id=("doc_id", "min"),
+        canon=("canonical_doc_id", "first"),
+        n=("doc_id", "size"),
+    )
+    assert (per.n_canon == 1).all()  # exactly one keeper per cluster
+    multi = per[per.n >= 2]
+    assert (multi.canon != multi.min_id).any(), "quality ranking never diverged from min-id"
+
+
+def test_canonical_by_quality_prefers_higher_quality_member(spark):
+    """Synthetic cluster where the HIGHER doc_id is the better copy (more
+    stopwords, less punctuation): the canonical pick must be the quality
+    winner, not the min id."""
+    import pandas as pd
+
+    from cca_spark.operators.dedup import canonical_by_quality_over
+
+    # ~40 shared tokens so the pair passes LSH+Jaccard; doc 11 appends a
+    # stopword-rich tail (higher stopword_ratio), doc 10 a punctuation tail
+    body = " ".join(f"tok{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 50],
+                "text": [
+                    body + " !!! ??? ;;;",
+                    body + " the and of to in it is was",
+                    " ".join(f"zzz{i}" for i in range(40)),
+                ],
+            }
+        )
+    )
+    got = canonical_by_quality_over(corpus).toPandas().set_index("doc_id")
+    assert got.loc[10, "canonical_doc_id"] == 11
+    assert got.loc[11, "canonical_doc_id"] == 11
+    assert bool(got.loc[10, "is_duplicate"]) and not bool(got.loc[11, "is_duplicate"])
+    # the unrelated singleton keeps itself
+    assert got.loc[50, "canonical_doc_id"] == 50 and not bool(got.loc[50, "is_duplicate"])
