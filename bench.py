@@ -86,6 +86,12 @@ def run_bench(sf_dir: str, master: str | None, replicas: int = 1) -> dict:
 
         gc.collect()
         spark._jvm.System.gc()
+        # ...and CacheManager entries (tfidf's lazy DISK_ONLY tf persist):
+        # those hold STRONG references GC never frees, so without this the
+        # corpus-sized TF table stays pinned on executor disk for every
+        # later measurement (bm25, the r5 scrub ops, the fan-out write) —
+        # the same neighbor-pollution fanout_bench.py exists to rule out
+        spark.catalog.clearCache()
 
     # headline: full pipeline, pandas-UDF parse. Best-of-N steady-state:
     # single-shot walls on this shared sandbox vary ±20% (page-cache state,

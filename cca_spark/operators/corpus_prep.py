@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cca_spark.operators.textstats import RETRIEVAL_DELIM, _doc_tokens_over
+from cca_spark.operators.textstats import _doc_tokens_over, retrieval_tokens_col
 
 PACK_BUDGET = 8192  # tokens per training sequence bin
 PACK_SHARDS = 32  # deterministic packing shards (prod: ~executor count)
@@ -131,7 +131,12 @@ def pack_token_budget_over(
 
     Each doc lands in bin (shard, cum_before div budget) where cum_before
     is the token count of all earlier docs in its shard (deterministic
-    doc_id order). Docs longer than the budget are flagged oversize (prod
+    doc_id order). Bins are CONTIGUOUS STREAM CHUNKS of the shard's token
+    stream — a doc whose tokens straddle a budget boundary belongs to the
+    bin where it STARTS and spills into the next (GPT-style packing cuts
+    sequences at training time), so a bin's token total may exceed the
+    budget; ``offset_in_bin`` is the doc's start position within its
+    chunk. Docs longer than the budget are flagged oversize (prod
     splits them; flagging keeps the op relational and the contract
     obvious). The demo shard key is ``pmod(doc_id, shards)`` —
     deterministic, dialect-shared, and NON-NEGATIVE even for signed hash
@@ -141,11 +146,7 @@ def pack_token_budget_over(
     sized = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
-        F.size(
-            F.filter(F.split(F.col("text"), RETRIEVAL_DELIM), lambda t: t != "")
-        )
-        .cast("bigint")
-        .alias("n_tokens"),
+        F.size(retrieval_tokens_col()).cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cca_spark.operators.textstats import RETRIEVAL_DELIM
+from cca_spark.operators.textstats import retrieval_tokens_col
 
 NGRAM_N = 8  # the Llama/GPT-3-style contamination window
 
@@ -49,7 +49,9 @@ EVAL_RESIDUE = 7
 
 
 def _toks() -> Column:
-    return F.filter(F.split(F.col("text"), RETRIEVAL_DELIM), lambda t: t != "")
+    # the ONE retrieval tokenization (textstats.retrieval_tokens_col) —
+    # never a re-typed copy, or this module's n_tokens forks the contract
+    return retrieval_tokens_col()
 
 
 def _ngram_array(n: int) -> Column:

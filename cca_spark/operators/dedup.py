@@ -213,11 +213,12 @@ def lsh_verified_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard(
-    corpus: DataFrame, pairs: DataFrame, shingles: DataFrame | None = None
-) -> DataFrame:
-    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
-    sh = (corpus_shingles(corpus) if shingles is None else shingles).distinct()
+def _pair_shingle_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set intersection for candidate (doc_a, doc_b) pairs:
+    ``(doc_a, doc_b, n_inter, n_a, n_b)``. The ONE verify kernel shared by
+    the Jaccard and containment families — a fix to the shared-shingle
+    join (semantics, skew handling) lands in both or neither. ``sh`` must
+    already be DISTINCT (doc_id, shingle) rows."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -228,18 +229,22 @@ def ngram_jaccard(
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+    return inter.join(na, "doc_a").join(nb, "doc_b")
+
+
+def ngram_jaccard(
+    corpus: DataFrame, pairs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
+    sh = (corpus_shingles(corpus) if shingles is None else shingles).distinct()
+    return _pair_shingle_intersections(sh, pairs).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -300,27 +305,12 @@ def ngram_containment_over(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    scored = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a_in_b"),
-            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b_in_a"),
-        )
+    scored = _pair_shingle_intersections(shd, cands).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a_in_b"),
+        F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b_in_a"),
     )
     return scored.filter(
         F.greatest("containment_a_in_b", "containment_b_in_a")

@@ -148,15 +148,24 @@ BM25_B = 0.75
 
 
 # THE retrieval tokenization: single-space split, empty tokens dropped.
-# Defined once — tfidf, bm25's tf explode, and bm25's no-explode dl
-# projection must all agree or oracle parity silently breaks.
+# Defined once — tfidf, bm25's tf explode, bm25's no-explode dl
+# projection, decontamination grams, LM scoring, and packing must all
+# agree or cross-engine oracle parity silently forks.
 RETRIEVAL_DELIM = " "
+
+
+def retrieval_tokens_col(col: str = "text"):
+    """The tokenization contract as a single array-column expression.
+    Every operator that counts, slices, or explodes retrieval tokens must
+    build from THIS (not a re-typed copy) — editing one inline copy used
+    to fork the contract for only some operators."""
+    return F.filter(F.split(F.col(col), RETRIEVAL_DELIM), lambda t: t != "")
 
 
 def _doc_tokens_over(docs: DataFrame) -> DataFrame:
     return docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), RETRIEVAL_DELIM)).alias("token")
-    ).filter(F.col("token") != "")
+        "doc_id", F.explode(retrieval_tokens_col()).alias("token")
+    )
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,9 +263,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         _read_docs(spark, sf_dir)
         .select(
             "doc_id",
-            F.size(
-                F.filter(F.split(F.col("text"), RETRIEVAL_DELIM), lambda t: t != "")
-            ).cast("long").alias("dl"),
+            F.size(retrieval_tokens_col()).cast("long").alias("dl"),
         )
         .filter(F.col("dl") > 0)
     )

@@ -155,11 +155,17 @@ def _update_dedup_ttl_state(key, pdfs, state: GroupState):
         return
     min_k = None
     n = 0
+    end_ms = None
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
             m = pdf["doc_key"].min()
             min_k = m if min_k is None else min(min_k, m)
+            # window end computed JVM-side (win_end_ms) so it is correct
+            # in ANY session timezone — pd.Timestamp(day) here would
+            # re-interpret the session-tz-derived date as UTC and evict
+            # up to a day early under a non-UTC session override
+            end_ms = int(pdf["win_end_ms"].iloc[0])
     if state.exists:
         k0, n0 = state.get
         min_k = k0 if min_k is None else min(min_k, k0)
@@ -168,7 +174,8 @@ def _update_dedup_ttl_state(key, pdfs, state: GroupState):
     # evict when the watermark passes this day-window's end; the timeout
     # must be strictly beyond the current watermark or Spark rejects it
     day = key[1]
-    end_ms = int(pd.Timestamp(day).timestamp() * 1000) + _DAY_MS
+    if end_ms is None:  # defensive: data-less non-timeout invocation
+        end_ms = state.getCurrentWatermarkMs() + _DAY_MS
     state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
     yield pd.DataFrame(
         {
@@ -198,6 +205,13 @@ def streaming_dedup_ttl(stream: DataFrame, watermark_delay: str = "1 hour") -> D
         F.col("ts").cast("timestamp").alias("ts_tz"),
         F.md5("text").alias("text_md5"),
         F.to_date(F.col("ts")).alias("day"),
+        # day-window end as epoch millis, evaluated in the SESSION
+        # timezone (date→timestamp cast), so state eviction timing stays
+        # correct under any spark.sql.session.timeZone — the pandas
+        # kernel must not re-derive this from the naive date
+        F.unix_millis(
+            F.date_add(F.to_date(F.col("ts")), 1).cast("timestamp")
+        ).alias("win_end_ms"),
         F.concat_ws(
             ":", F.col("conv_id"), F.col("turn_idx").cast("string")
         ).alias("doc_key"),

@@ -289,12 +289,35 @@ def main() -> None:
         n_packed = packed.count()
         w = time.time() - t0
         agg = packed.agg(
-            F.max("offset_in_bin").alias("max_off"),
             F.countDistinct("shard", "bin_id").alias("n_bins"),
             F.sum("n_tokens").alias("total_tokens"),
         ).collect()[0]
         checks["packing_preserves_rows"] = n_packed == n_scrubbed
-        checks["packing_offsets_within_budget"] = agg["max_off"] < PACK_BUDGET
+        # REAL cumsum invariant (offset_in_bin < budget is true by modulo
+        # construction and checks nothing): per shard, the LAST doc's
+        # cum_before + n_tokens must equal the shard's independent
+        # groupBy token sum — window cumsum vs plain aggregation. Bins
+        # are contiguous stream chunks docs may STRADDLE (GPT-style
+        # packing cuts at training time), so per-bin sums are NOT bounded
+        # by the budget and are not asserted.
+        cum_check = (
+            packed.selectExpr(
+                "shard",
+                "n_tokens",
+                f"offset_in_bin + cast(bin_id AS bigint) * {PACK_BUDGET} AS cum_before",
+            )
+            .groupBy("shard")
+            .agg(
+                F.max(
+                    F.struct("cum_before", "n_tokens")
+                ).alias("last"),
+                F.sum("n_tokens").alias("tot"),
+            )
+            .selectExpr("(last.cum_before + last.n_tokens) = tot AS ok")
+            .agg(F.min("ok").alias("all_ok"))
+            .collect()[0]["all_ok"]
+        )
+        checks["packing_cumsum_consistent"] = bool(cum_check)
         # every (shard, bin) must hold at least one doc and the bin count
         # can't exceed what the token volume plus per-bin slack admits
         checks["packing_bin_count_bounded"] = (

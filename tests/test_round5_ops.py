@@ -246,11 +246,19 @@ def test_pack_token_budget_matches_oracle(spark, sf_dir):
     df = pack_token_budget(spark, sf_dir)
     assert_matches_oracle(df, pack_token_budget_sql(), min_rows=100, sf_dir=sf_dir)
     got = df.toPandas()
-    # invariants: offsets sit inside the budget; bins are contiguous
-    # from 0 within every shard
-    assert (got["offset_in_bin"] < PACK_BUDGET).all()
-    assert (got["offset_in_bin"] >= 0).all()
+    # REAL invariants (offset < budget is true by modulo construction and
+    # checks nothing): the window cumsum must reconstruct exactly from
+    # (bin_id, offset_in_bin) and match an independent per-shard running
+    # sum in doc_id order; bins are contiguous from 0 within every shard.
+    # Bins are stream chunks docs may STRADDLE, so per-bin token sums are
+    # deliberately NOT asserted against the budget.
+    got = got.sort_values(["shard", "doc_id"])
+    got["cum_before"] = got["bin_id"].astype("int64") * PACK_BUDGET + got[
+        "offset_in_bin"
+    ].astype("int64")
     for _, g in got.groupby("shard"):
+        expected_cum = g["n_tokens"].cumsum().shift(fill_value=0)
+        assert (g["cum_before"].values == expected_cum.values).all()
         bins = sorted(g["bin_id"].unique())
         assert bins == list(range(len(bins)))
 
@@ -452,3 +460,105 @@ def test_canonical_by_quality_prefers_higher_quality_member(spark):
     assert bool(got.loc[10, "is_duplicate"]) and not bool(got.loc[11, "is_duplicate"])
     # the unrelated singleton keeps itself
     assert got.loc[50, "canonical_doc_id"] == 50 and not bool(got.loc[50, "is_duplicate"])
+
+
+def test_streaming_dedup_ttl_nonutc_session_timezone(spark, tmp_path):
+    """The TTL window end is computed JVM-side in the SESSION timezone.
+    Under a non-UTC session (America/Los_Angeles: a naive midnight
+    re-interpreted as UTC lands 8h EARLY) the old pandas-side
+    pd.Timestamp(day) end evicted a day-window once the watermark passed
+    16:00 local, splitting that day's counts across state generations.
+    The staged driver input is day-aligned (a day never straddles
+    microbatches), which masked this — so this test stages files that
+    SPLIT day 1 at hour 20 (still oldest-first, no late drops) and checks
+    exact parity with the tz-independent naive-date GROUP BY."""
+    import pandas as pd
+
+    from cca_spark.streaming.pipeline import run_dedup_ttl_to_memory
+
+    # The split needs: (batch1) day-1 texts t0..t6 up to 19:00 — the old
+    # UTC-naive timeout (16:00 local) is already behind the 18:00
+    # watermark; (batch2) a batch with NO t* data, so their expired
+    # timers fire and the state is evicted prematurely; (batch3) more
+    # day-1 t* rows at 20:00+ (above the 18:30 watermark, so not late)
+    # that re-create the state with counts restarted. The fixed JVM-side
+    # end (local midnight) keeps the state alive through batch3, and
+    # batches 4-5 (day 2) advance the watermark past it for the real
+    # eviction the rows_removed assert pins.
+    rows = []
+    for i in range(60):  # day 1, hours 0..19
+        rows.append(
+            ("c1", i, "user", f"t{i % 7}", "",
+             pd.Timestamp(2024, 1, 1, i * 20 // 60, i % 60))
+        )
+    rows.append(("ka", 0, "user", "keepalive", "", pd.Timestamp(2024, 1, 1, 19, 30)))
+    for i in range(12):  # day 1, hours 20..23 — same texts return
+        rows.append(
+            ("c1", 100 + i, "user", f"t{i % 7}", "",
+             pd.Timestamp(2024, 1, 1, 20 + i * 4 // 12, i % 60))
+        )
+    for i in range(6):  # day 2 early
+        rows.append(
+            ("c2", i, "user", f"t{i % 7}", "", pd.Timestamp(2024, 1, 2, 0, 30 + i))
+        )
+    for i in range(6):  # day 2 later — watermark passes day 1's true end
+        rows.append(
+            ("c2", 100 + i, "user", f"t{i % 7}", "", pd.Timestamp(2024, 1, 2, 10 + i, 0))
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    bounds = [
+        pd.Timestamp(2024, 1, 1, 19, 15),
+        pd.Timestamp(2024, 1, 1, 20),
+        pd.Timestamp(2024, 1, 2),
+        pd.Timestamp(2024, 1, 2, 5),
+        pd.Timestamp(2024, 1, 3),
+    ]
+    lo = pd.Timestamp(2023, 12, 31)
+    chunks = []
+    for hi in bounds:
+        chunks.append(pdf[(pdf.ts >= lo) & (pdf.ts < hi)])
+        lo = hi
+    assert all(len(c) for c in chunks)
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        in_dir = str(tmp_path / "ttl_la_in")
+        for c in chunks:  # oldest-first file order
+            sdf = spark.createDataFrame(c)
+            sdf = sdf.withColumn("turn_idx", sdf["turn_idx"].cast("int")).withColumn(
+                "ts", sdf["ts"].cast("timestamp_ntz")
+            )
+            sdf.coalesce(1).write.mode("append").parquet(in_dir)
+            # distinct mtimes keep the file source's oldest-first delivery
+            import time as _t
+
+            _t.sleep(0.05)
+        df, stats = run_dedup_ttl_to_memory(spark, in_dir, query_name="ttl_pytest_la")
+        got = (
+            df.toPandas()
+            .astype({"day": str})
+            .sort_values(["text_md5", "day"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            spark.createDataFrame(pdf)
+            .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            .selectExpr(
+                "md5(text) AS text_md5",
+                "to_date(ts) AS day",
+                "concat_ws(':', conv_id, cast(turn_idx AS string)) AS doc_key",
+            )
+            .groupBy("text_md5", "day")
+            .agg(F.min("doc_key").alias("keeper_doc"), F.count("*").alias("n_copies"))
+            .toPandas()
+            .astype({"day": str})
+            .sort_values(["text_md5", "day"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+        assert stats["rows_removed"] > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
