@@ -324,7 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (1) new/changed code — streaming_dedup_ttl (new: EventTimeTimeout
         state eviction), pii_scrub + ngram_decontaminate +
         repetition_filter + lm_unigram_score + pack_token_budget +
-        mixture_weighted_sample + ngram_containment +
+        mixture_weighted_sample + corpus_shard_shuffle + per_source_cap +
+        vocab_coverage + hash_split + ngram_containment +
         dedup_canonical_by_quality (new r5 corpus-hygiene/assembly
         family), ann_ivf_trained (newly
         hash-oracled via 6dp fixed-point Lloyd means), bm25_retrieval
@@ -395,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_unigram_score": CP.lm_unigram_logprob,  # new r5
         "pack_token_budget": CP.pack_token_budget,  # new r5
         "mixture_weighted_sample": CP.mixture_weighted_sample,  # new r5
+        "corpus_shard_shuffle": CP.corpus_shard_shuffle,  # new r5
+        "per_source_cap": CP.per_source_cap,  # new r5
+        "vocab_coverage": CP.vocab_coverage,  # new r5
+        "hash_split": CP.hash_split,  # new r5
         "ngram_containment": DD.ngram_containment_pairs,  # new r5
         "ann_ivf_trained": SIM.ivf_ann_trained,  # hash-oracled r5 (6dp Lloyd)
         "bm25_retrieval": TS.bm25_retrieval,  # TakeOrderedAndProject top-k (r5)
@@ -573,6 +578,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_unigram_score": OT.lm_unigram_logprob_sql(),
         "pack_token_budget": OT.pack_token_budget_sql(),
         "mixture_weighted_sample": OT.mixture_weighted_sample_sql(),
+        "corpus_shard_shuffle": OT.corpus_shard_shuffle_sql(),
+        "per_source_cap": OT.per_source_cap_sql(),
+        "vocab_coverage": OT.vocab_coverage_sql(),
+        "hash_split": OT.hash_split_sql(),
         "ngram_containment": OT.ngram_containment_sql(),
         "lang_id_heuristic": OT.lang_id_sql(),
         "quality_score": OT.quality_score_sql(),

@@ -99,3 +99,11 @@ def pack_sequences(scrubbed: DataFrame) -> DataFrame:
     return pack_token_budget_over(
         scrubbed.select("doc_id", F.col("scrubbed").alias("text"))
     )
+
+
+def epoch_shuffle(scrubbed: DataFrame) -> DataFrame:
+    """Per-epoch training-shard shuffle of the final clean doc ids (r5
+    assembly stage): a stable pseudo-random (shard, pos) per doc."""
+    from cca_spark.operators.corpus_prep import corpus_shard_shuffle_over
+
+    return corpus_shard_shuffle_over(scrubbed.select("doc_id"))

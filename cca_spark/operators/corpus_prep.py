@@ -26,6 +26,23 @@ family (dedup / quality / redact / decontam) doesn't cover:
   reproducible and per-source independent, both of which hash
   thresholding gives for free and ``rand()`` does not).
 
+- **Training-shard shuffle** (``corpus_shard_shuffle``): stable
+  pseudo-random (shard, position) assignment per doc — the per-epoch
+  corpus shuffle, reproducible across reruns/engines via an md5-derived
+  60-bit key; reshuffling an epoch is changing the seed.
+
+- **Per-source cap** (``per_source_cap``): keep at most K docs per
+  provenance bucket, best-quality first — the RefinedWeb-style absolute
+  bound that complements the mixture's proportional scaling.
+
+- **Vocabulary coverage** (``vocab_coverage``): top-V tokens with
+  cumulative share of total token mass — the curve that sizes a
+  tokenizer vocabulary.
+
+- **Holdout split** (``hash_split``): deterministic train/val/test
+  assignment by md5 ranges — stable across reruns and corpus growth, so
+  no former-train doc ever drifts into eval.
+
 Float discipline (lm scoring): per-token log-probs round to 6dp then sum
 as ``decimal`` — exact and order-independent, so cross-engine hash parity
 never rides on double summation order (tighter than the bm25 idiom of
@@ -208,3 +225,194 @@ def mixture_weighted_sample_over(
 def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
     return mixture_weighted_sample_over(docs)
+
+
+# training-shard shuffle: shard count ~ data-parallel worker count (prod:
+# thousands); the SEED names the epoch — a new epoch is a new seed, a
+# full reshuffle, and zero state carried between epochs
+SHUFFLE_SHARDS = 64
+SHUFFLE_SEED = "epoch0"
+
+# per-provenance document cap (RefinedWeb/C4-style anti-spam bound: no
+# single domain may contribute more than CAP docs, best-quality first)
+PER_SOURCE_CAP = 20
+
+# vocabulary coverage report size (the "how big must the vocab be" curve
+# is read at a few dozen points, not over the full distinct-token set)
+VOCAB_TOP = 64
+
+
+def corpus_shard_shuffle_over(
+    docs: DataFrame, shards: int = SHUFFLE_SHARDS, seed: str = SHUFFLE_SEED
+) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a stable
+    pseudo-random 60-bit key, a shard, and an ordinal position within its
+    shard — the "shuffle the corpus before each epoch" step every trainer
+    needs, reproducible across reruns and engines (``rand()`` is neither).
+
+    Key = first 15 hex chars of ``md5(doc_id ':' seed)`` parsed as a
+    bigint: 60 bits, so never negative and never bigint overflow, and
+    byte-identical in Spark (``conv(_,16,10)``) and DuckDB
+    (``'0x…'::bigint``). Shard = key mod shards; position = rank of
+    (key, doc_id) within the shard. The ranking window is PARTITIONED BY
+    SHARD — each of the O(worker-count) shards sorts independently (the
+    bm25/packing unpartitioned-window discipline), and the md5 key makes
+    shard sizes uniform regardless of doc_id distribution, so there is no
+    skewed partition to salt."""
+    key = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("shuffle_key")
+    )
+    keyed = docs.select("doc_id", key).select(
+        "doc_id",
+        "shuffle_key",
+        F.pmod(F.col("shuffle_key"), F.lit(shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        "shuffle_key",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return corpus_shard_shuffle_over(docs)
+
+
+def per_source_cap_over(docs: DataFrame, cap: int = PER_SOURCE_CAP) -> DataFrame:
+    """Per-provenance document cap: keep at most ``cap`` docs per source,
+    best first — the RefinedWeb/C4 anti-spam bound that stops any single
+    domain from dominating the mixture (mixture_weighted_sample scales a
+    source DOWN proportionally; this bounds it ABSOLUTELY).
+
+    Ranking: passing the quality gate beats failing it
+    (textstats.passes_quality_col — the ONE shared gate expression), then
+    longer docs beat shorter, doc_id breaks ties. Scale shape: one window
+    partitioned by source. At web scale the partition key is the domain
+    (cardinality: millions), so partitions are fine-grained; a
+    pathological hub domain is still one task's sort, which AQE skew
+    splitting cannot divide — prod bounds it by pre-filtering sources
+    whose count exceeds cap via a cheap groupBy and ranking only those
+    (same output, one extra narrow agg), the same hub-bounding idea as
+    the LSH bucket cap (dedup.py)."""
+    from cca_spark.operators.textstats import passes_quality_col
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        passes_quality_col().alias("passes_quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("passes_quality"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "passes_quality",
+        F.row_number().over(w).cast("int").alias("src_rank"),
+    ).filter(F.col("src_rank") <= cap)
+
+
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    return per_source_cap_over(docs)
+
+
+def vocab_coverage_over(docs: DataFrame, top: int = VOCAB_TOP) -> DataFrame:
+    """Vocabulary coverage curve: the top-``top`` tokens by corpus
+    frequency with each token's cumulative share of total token mass —
+    the profile that sizes a tokenizer vocabulary ("how many token types
+    cover 95% of the stream?").
+
+    Scale shape: the corpus-sized explode feeds ONE token-count groupBy
+    (map-side partial combine — the shuffle carries the vocab, not the
+    corpus); the global top-``top`` is ``orderBy().limit()``
+    (TakeOrderedAndProject — distributed, the bm25 top-k discipline); the
+    rank/cumsum window that follows is unpartitioned BUT runs over
+    exactly ``top`` rows, so the single-task sort is bounded by the
+    report size, never the data. Total mass rides a broadcast one-row
+    cross join. Coverage is bigint-cumsum / bigint-total in one double
+    division rounded to 6dp — no float summation order to disagree on."""
+    toks = _doc_tokens_over(docs)
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    topv = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(top)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        topv.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.row_number().over(w).cast("int").alias("vocab_rank"),
+            F.round(
+                F.sum("cnt").over(wsum).cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage_over(_read_docs(spark, sf_dir))
+
+
+# train/val/test fractions (cumulative order matters: first match wins).
+# The split must be BY-DOC-DETERMINISTIC — re-running the pipeline, or
+# running it on a grown corpus, must never move an old doc between
+# splits (that silently leaks former-train docs into eval). Hash
+# thresholding gives that; rand() or row-position splits do not.
+SPLIT_FRACTIONS = (("train", 0.98), ("val", 0.01), ("test", 0.01))
+SPLIT_SEED = "split0"
+
+
+def hash_split_over(
+    docs: DataFrame,
+    fractions: tuple[tuple[str, float], ...] = SPLIT_FRACTIONS,
+    seed: str = SPLIT_SEED,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-prefix ranges —
+    the eval-holdout counterpart of ngram_decontaminate (decontam removes
+    eval text from train; this creates the held-out eval in the first
+    place, stably across reruns and corpus growth).
+
+    The doc's 8-hex key lands in cumulative-fraction buckets (the
+    mixture_weighted_sample thresholding idiom — hex-string comparison is
+    plain ASCII ordering in Spark and DuckDB, so the assignment is
+    cross-engine exact). Scale shape: one projection, zero shuffle, zero
+    UDF, whole-stage codegen."""
+    cum = 0.0
+    key = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))), 1, 8
+    )
+    split = None
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thr = F.lit(mixture_threshold_hex(cum))
+        cond = key < thr
+        split = F.when(cond, F.lit(name)) if split is None else split.when(
+            cond, F.lit(name)
+        )
+    split = split.otherwise(F.lit(fractions[-1][0]))
+    return docs.select("doc_id", split.alias("split"), key.alias("split_key"))
+
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return hash_split_over(docs)

@@ -52,6 +52,24 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_over(_read_docs(spark, sf_dir))
 
 
+def passes_quality_col():
+    """THE pass/fail quality gate as one boolean column expression —
+    shared by quality_score_over and every operator that ranks or caps
+    on "passes quality" (per_source_cap), so the gate cannot fork the way
+    an inline re-typed copy of the tokenization once did. NULL-safe by
+    construction: the length guard short-circuits the ratio terms
+    (false AND NULL = false in both Spark and DuckDB)."""
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_stop = F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOPWORD_RE), 0))
+    return (
+        (n_chars >= 100)
+        & ((n_punct.cast("double") / n_chars.cast("double")) < 0.1)
+        & ((n_stop.cast("double") / n_words.cast("double")) > 0.05)
+    )
+
+
 def quality_score_over(docs: DataFrame) -> DataFrame:
     """DataFrame-level quality heuristics over any (doc_id, text) table."""
     n_chars = F.length("text")
@@ -65,11 +83,7 @@ def quality_score_over(docs: DataFrame) -> DataFrame:
         F.round(n_punct.cast("double") / n_chars.cast("double"), 6).alias("punct_ratio"),
         F.round(n_stop.cast("double") / n_words.cast("double"), 6).alias("stopword_ratio"),
         F.round(n_chars.cast("double") / n_words.cast("double"), 6).alias("mean_word_len"),
-        (
-            (n_chars >= 100)
-            & ((n_punct.cast("double") / n_chars.cast("double")) < 0.1)
-            & ((n_stop.cast("double") / n_words.cast("double")) > 0.05)
-        ).alias("passes_quality"),
+        passes_quality_col().alias("passes_quality"),
     )
 
 

@@ -17,6 +17,16 @@ from cca_spark.operators.textstats import EN_STOPWORDS, TOKEN_RE
 
 STOPWORD_RE = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
 
+# THE pass/fail quality gate as one SQL fragment — the DuckDB twin of
+# textstats.passes_quality_col, shared by quality_score_sql and
+# per_source_cap_sql so the gate cannot fork between oracles
+PASSES_QUALITY_SQL = (
+    "(length(text) >= 100"
+    "\n   AND len(regexp_extract_all(text, '[^\\w\\s]')) / cast(length(text) AS double) < 0.1"
+    f"\n   AND len(regexp_extract_all(text, '{STOPWORD_RE}'))"
+    "\n       / cast(len(string_split_regex(trim(text), '\\s+')) AS double) > 0.05)"
+)
+
 CORPUS_CTE = f"""corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -69,10 +79,7 @@ SELECT doc_id,
   round(len(regexp_extract_all(text, '{STOPWORD_RE}'))
         / cast(len(string_split_regex(trim(text), '\\s+')) AS double), 6) AS stopword_ratio,
   round(length(text) / cast(len(string_split_regex(trim(text), '\\s+')) AS double), 6) AS mean_word_len,
-  (length(text) >= 100
-   AND len(regexp_extract_all(text, '[^\\w\\s]')) / cast(length(text) AS double) < 0.1
-   AND len(regexp_extract_all(text, '{STOPWORD_RE}'))
-       / cast(len(string_split_regex(trim(text), '\\s+')) AS double) > 0.05) AS passes_quality
+  {PASSES_QUALITY_SQL} AS passes_quality
 FROM documents
 """
 
@@ -984,4 +991,105 @@ canon AS (
 SELECT q.doc_id, q.cluster_id, can.canonical_doc_id,
   (q.doc_id <> can.canonical_doc_id) AS is_duplicate
 FROM q JOIN canon can ON q.cluster_id = can.cluster_id
+"""
+
+
+def corpus_shard_shuffle_sql(shards: int | None = None, seed: str | None = None) -> str:
+    """Oracle for corpus_prep.corpus_shard_shuffle: the same md5-prefix
+    60-bit key (DuckDB parses '0x…' string casts; Spark uses conv — both
+    yield the identical bigint), the same mod-shard and per-shard rank.
+    The key is 60-bit hence non-negative, so plain % equals pmod."""
+    from cca_spark.operators.corpus_prep import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    shards = SHUFFLE_SHARDS if shards is None else shards
+    seed = SHUFFLE_SEED if seed is None else seed
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+    cast(concat('0x', substr(md5(cast(doc_id AS varchar) || ':{seed}'), 1, 15))
+         AS bigint) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+  cast(shuffle_key % {shards} AS int) AS shard,
+  shuffle_key,
+  cast(row_number() OVER (
+    PARTITION BY shuffle_key % {shards} ORDER BY shuffle_key, doc_id
+  ) - 1 AS bigint) AS pos
+FROM keyed
+"""
+
+
+def per_source_cap_sql(cap: int | None = None) -> str:
+    """Oracle for corpus_prep.per_source_cap: the shared quality gate
+    (PASSES_QUALITY_SQL — the SQL twin of textstats.passes_quality_col),
+    ranked (passes DESC, n_chars DESC, doc_id) per source. Booleans sort
+    false<true in both engines, so DESC means passing-first in both."""
+    from cca_spark.operators.corpus_prep import PER_SOURCE_CAP
+
+    cap = PER_SOURCE_CAP if cap is None else cap
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+    cast(n_chars AS bigint) AS n_chars,
+    {PASSES_QUALITY_SQL} AS passes_quality,
+    cast(row_number() OVER (
+      PARTITION BY source
+      ORDER BY {PASSES_QUALITY_SQL} DESC, n_chars DESC, doc_id
+    ) AS int) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, passes_quality, src_rank
+FROM ranked WHERE src_rank <= {cap}
+"""
+
+
+def vocab_coverage_sql(top: int | None = None) -> str:
+    """Oracle for corpus_prep.vocab_coverage: same tokenization
+    (space-split, empties dropped), same (cnt DESC, token) total order,
+    same one-division-then-round coverage arithmetic over bigint cumsums."""
+    from cca_spark.operators.corpus_prep import VOCAB_TOP
+
+    top = VOCAB_TOP if top is None else top
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT token FROM toks WHERE token <> ''),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM freq),
+topv AS (SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT {top})
+SELECT token, cast(cnt AS bigint) AS cnt,
+  cast(row_number() OVER (ORDER BY cnt DESC, token) AS int) AS vocab_rank,
+  round(cast(sum(cnt) OVER (
+      ORDER BY cnt DESC, token
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS double) / cast(total AS double), 6) AS cum_coverage
+FROM topv CROSS JOIN tot
+"""
+
+
+def hash_split_sql() -> str:
+    """Oracle for corpus_prep.hash_split: thresholds are the SAME
+    Python-computed hex strings the Spark op embeds (no float re-derive
+    in either engine), compared by plain ASCII ordering."""
+    from cca_spark.operators.corpus_prep import (
+        SPLIT_FRACTIONS,
+        SPLIT_SEED,
+        mixture_threshold_hex,
+    )
+
+    cum = 0.0
+    whens = []
+    for name, frac in SPLIT_FRACTIONS[:-1]:
+        cum += frac
+        whens.append(f"WHEN split_key < '{mixture_threshold_hex(cum)}' THEN '{name}'")
+    case = " ".join(whens) + f" ELSE '{SPLIT_FRACTIONS[-1][0]}'"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+    substr(md5(cast(doc_id AS varchar) || ':{SPLIT_SEED}'), 1, 8) AS split_key
+  FROM documents
+)
+SELECT doc_id, CASE {case} END AS split, split_key FROM keyed
 """

@@ -100,6 +100,21 @@ AUDIT = [
         "partitioned first_value window — no global window, no rn=1 "
         "self-join",
     ),
+    (
+        "corpus_shard_shuffle",
+        "training-shard shuffle (r5): 1-column pruned scan, shard-"
+        "PARTITIONED rank window (no global sort) over md5-derived keys",
+    ),
+    (
+        "per_source_cap",
+        "per-source cap (r5): ONE source-partitioned row_number window "
+        "over the shared quality gate, rank filter",
+    ),
+    (
+        "vocab_coverage",
+        "vocabulary coverage (r5): token-count groupBy with map-side "
+        "partials → TakeOrderedAndProject top-V → window over V rows only",
+    ),
 ]
 
 
@@ -138,9 +153,9 @@ def production_day_stages(spark, sf: str):
     stages.append(("tfidf_index", chain.build_tfidf_index(filt_ck, k=3)))
     scrubbed = chain.repetition_scrubbed(filt_ck)
     stages.append(("repetition_gate_pii_scrub", scrubbed))
-    stages.append(
-        ("sequence_packing", chain.pack_sequences(scrubbed.localCheckpoint(eager=True)))
-    )
+    scrub_ck = scrubbed.localCheckpoint(eager=True)
+    stages.append(("sequence_packing", chain.pack_sequences(scrub_ck)))
+    stages.append(("epoch_shard_shuffle", chain.epoch_shuffle(scrub_ck)))
     return stages
 
 

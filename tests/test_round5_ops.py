@@ -562,3 +562,104 @@ def test_streaming_dedup_ttl_nonutc_session_timezone(spark, tmp_path):
         assert stats["rows_removed"] > 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_corpus_shard_shuffle_matches_oracle_and_permutes(spark, sf_dir):
+    """Training-shard shuffle: cross-engine exact, positions contiguous
+    per shard, no doc lost, and a NEW SEED is a genuinely different
+    permutation (the per-epoch reshuffle contract)."""
+    from cca_spark.operators.corpus_prep import (
+        SHUFFLE_SHARDS,
+        corpus_shard_shuffle,
+        corpus_shard_shuffle_over,
+    )
+    from cca_spark.oracles_training import corpus_shard_shuffle_sql
+    from tests.util import assert_matches_oracle
+
+    df = corpus_shard_shuffle(spark, sf_dir)
+    assert_matches_oracle(df, corpus_shard_shuffle_sql(), min_rows=100, sf_dir=sf_dir)
+    got = df.toPandas()
+    assert got["doc_id"].is_unique and got["shard"].between(0, SHUFFLE_SHARDS - 1).all()
+    for _, g in got.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    epoch1 = corpus_shard_shuffle_over(docs, seed="epoch1").toPandas()
+    j = got.merge(epoch1, on="doc_id", suffixes=("_0", "_1"))
+    assert len(j) == len(got)
+    moved = ((j["shard_0"] != j["shard_1"]) | (j["pos_0"] != j["pos_1"])).mean()
+    assert moved > 0.9, f"epoch reshuffle barely moved anything ({moved:.2%})"
+
+
+def test_per_source_cap_matches_oracle_and_bounds(spark, sf_dir):
+    """Per-source cap: cross-engine exact and no source exceeds the cap."""
+    from cca_spark.operators.corpus_prep import PER_SOURCE_CAP, per_source_cap
+    from cca_spark.oracles_training import per_source_cap_sql
+    from tests.util import assert_matches_oracle
+
+    df = per_source_cap(spark, sf_dir)
+    assert_matches_oracle(df, per_source_cap_sql(), min_rows=50, sf_dir=sf_dir)
+    got = df.toPandas()
+    assert (got.groupby("source").size() <= PER_SOURCE_CAP).all()
+    assert (got["src_rank"] >= 1).all() and (got["src_rank"] <= PER_SOURCE_CAP).all()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(got) < n_docs, "the cap never bound — test data too small to exercise it"
+
+
+def test_per_source_cap_prefers_passing_docs(spark):
+    """A source with more docs than the cap must keep quality-gate
+    passers over longer failers — the ranking is quality-first."""
+    from cca_spark.operators.corpus_prep import per_source_cap_over
+
+    passing = "the a of and to in is for on with " * 15  # long, stopword-rich
+    failing = "zz " * 300  # longer, but no stopwords -> fails the gate
+    rows = [(1, passing, "s", len(passing)), (2, failing, "s", len(failing)),
+            (3, passing + "x", "s", len(passing) + 1)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source", "n_chars"])
+    )
+    got = per_source_cap_over(docs, cap=2).toPandas().set_index("doc_id")
+    assert set(got.index) == {1, 3}, "failing-but-longer doc displaced a passer"
+    assert bool(got["passes_quality"].all())
+
+
+def test_vocab_coverage_matches_oracle_and_curve_shape(spark, sf_dir):
+    """Vocabulary coverage: cross-engine exact; ranks contiguous from 1;
+    coverage strictly increasing to <= 1; an explicit small top exercises
+    the distributed take (limit actually binds)."""
+    from cca_spark.operators.corpus_prep import vocab_coverage, vocab_coverage_over
+    from cca_spark.oracles_training import vocab_coverage_sql
+    from tests.util import assert_matches_oracle
+
+    df = vocab_coverage(spark, sf_dir)
+    assert_matches_oracle(df, vocab_coverage_sql(), min_rows=10, sf_dir=sf_dir)
+    got = df.toPandas().sort_values("vocab_rank").reset_index(drop=True)
+    assert got["vocab_rank"].tolist() == list(range(1, len(got) + 1))
+    assert got["cum_coverage"].is_monotonic_increasing
+    assert got["cum_coverage"].iloc[-1] <= 1.0
+    assert (got["cnt"].diff().dropna() <= 0).all(), "counts must be non-increasing"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    top5 = vocab_coverage_over(docs, top=5).toPandas()
+    assert len(top5) == 5
+    assert top5.sort_values("vocab_rank")["cum_coverage"].iloc[-1] < 1.0
+
+
+def test_hash_split_matches_oracle_and_is_growth_stable(spark, sf_dir):
+    """Holdout split: cross-engine exact; fractions roughly honored; and
+    GROWTH-STABLE — splitting a superset corpus never reassigns an
+    existing doc (the property that prevents train->eval leakage as the
+    corpus grows)."""
+    from cca_spark.operators.corpus_prep import hash_split, hash_split_over
+    from cca_spark.oracles_training import hash_split_sql
+    from tests.util import assert_matches_oracle
+
+    df = hash_split(spark, sf_dir)
+    assert_matches_oracle(df, hash_split_sql(), min_rows=100, sf_dir=sf_dir)
+    got = df.toPandas()
+    frac_train = (got["split"] == "train").mean()
+    assert 0.9 <= frac_train <= 1.0 and set(got["split"]) <= {"train", "val", "test"}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    grown = docs.union(docs.select((F.col("doc_id") + 10_000_000).alias("doc_id")))
+    re_split = hash_split_over(grown).toPandas()
+    j = got.merge(re_split, on="doc_id", suffixes=("_old", "_new"))
+    assert len(j) == len(got)
+    assert (j["split_old"] == j["split_new"]).all(), "corpus growth moved docs between splits"
