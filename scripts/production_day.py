@@ -396,9 +396,13 @@ def main() -> None:
             "all_checks_pass": all(checks.values()),
         }
         print(json.dumps(report))
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(repo, "BENCH_production_day.json"), "w") as f:
-            json.dump(report, f, indent=2)
+        # only bench-scale runs update the recorded benchmark — a tiny
+        # smoke run (sf0.001, few replicas) must never clobber the
+        # 19.2M-turn evidence file the docs cite
+        if report["n_turns"] >= 1_000_000:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            with open(os.path.join(repo, "BENCH_production_day.json"), "w") as f:
+                json.dump(report, f, indent=2)
         assert all(checks.values()), f"cross-checks failed: {checks}"
     finally:
         # spark is reassigned per wave — stop whichever session is live even
