@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_filter + lm_unigram_score + pack_token_budget +
         mixture_weighted_sample + corpus_shard_shuffle + per_source_cap +
         vocab_coverage + hash_split + ngram_containment +
+        repeated_span_fraction +
         dedup_canonical_by_quality (new r5 corpus-hygiene/assembly
         family), ann_ivf_trained (newly
         hash-oracled via 6dp fixed-point Lloyd means), bm25_retrieval
@@ -401,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": CP.vocab_coverage,  # new r5
         "hash_split": CP.hash_split,  # new r5
         "ngram_containment": DD.ngram_containment_pairs,  # new r5
+        "repeated_span_fraction": DD.repeated_span_fraction,  # new r5
         "ann_ivf_trained": SIM.ivf_ann_trained,  # hash-oracled r5 (6dp Lloyd)
         "bm25_retrieval": TS.bm25_retrieval,  # TakeOrderedAndProject top-k (r5)
         "tfidf_top_terms": TS.tfidf_top_terms,  # lazy DISK_ONLY tf cache (r5)
@@ -583,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": OT.vocab_coverage_sql(),
         "hash_split": OT.hash_split_sql(),
         "ngram_containment": OT.ngram_containment_sql(),
+        "repeated_span_fraction": OT.repeated_span_fraction_sql(),
         "lang_id_heuristic": OT.lang_id_sql(),
         "quality_score": OT.quality_score_sql(),
         "token_count": OT.token_count_sql(),

@@ -248,6 +248,48 @@ def ngram_jaccard(
     )
 
 
+def repeated_span_fraction_over(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Cross-document boilerplate signal: per doc, the fraction of its
+    distinct k-token spans that also appear in at least one OTHER doc —
+    the corpus-level complement of decontam.repetition_filter (which
+    scores repetition WITHIN a doc). Headers, footers, navigation chrome,
+    and licence blocks show up as high repeated_frac long before full-doc
+    dedup fires; RefinedWeb-style pipelines threshold exactly this.
+
+    Scale shape: the corpus shingle stream explodes twice (df pass + the
+    per-doc join pass) — deliberately NOT checkpointed: the distinct
+    shingle table is data-sized, and pinning it in executor block storage
+    is the tfidf hazard ADVICE r04 flagged; two streamed explodes beat
+    one materialization. The df join keys on shingle with no forced
+    broadcast (AQE decides — the tfidf lesson); the shuffle carries
+    (shingle, df), never text. df counts DOCS (shd is distinct per doc),
+    so df >= 2 means "appears in another doc", not "appears twice"."""
+    shd = corpus_shingles(corpus, k).distinct()
+    dfreq = shd.groupBy("shingle").agg(F.count("*").alias("df"))
+    rep = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        shd.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            rep.alias("n_repeated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_repeated",
+            F.round(
+                F.col("n_repeated").cast("double") / F.col("n_shingles"), 6
+            ).alias("repeated_frac"),
+        )
+    )
+
+
+def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return repeated_span_fraction_over(docs)
+
+
 BOTTOM_K_SKETCH = 4  # bottom-k min-hash sketch size for containment blocking
 CONTAINMENT_THRESHOLD = 0.9
 SKETCH_BUCKET_CAP = 64  # hub-star cap on a sketch-hash bucket (see LSH_BUCKET_CAP)

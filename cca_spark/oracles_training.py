@@ -1093,3 +1093,23 @@ WITH keyed AS (
 )
 SELECT doc_id, CASE {case} END AS split, split_key FROM keyed
 """
+
+
+def repeated_span_fraction_sql() -> str:
+    """Oracle for dedup.repeated_span_fraction: identical shingling
+    (SHINGLES_CTE), distinct per doc, df counts docs, one
+    division-then-round."""
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{SHINGLES_CTE},
+{SHINGLES_NONEMPTY},
+shd AS (SELECT DISTINCT doc_id, shingle FROM shn),
+dfreq AS (SELECT shingle, count(*) AS df FROM shd GROUP BY shingle)
+SELECT s.doc_id,
+  cast(count(*) AS bigint) AS n_shingles,
+  cast(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_repeated,
+  round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) / cast(count(*) AS double), 6)
+    AS repeated_frac
+FROM shd s JOIN dfreq d USING (shingle)
+GROUP BY s.doc_id
+"""

@@ -115,6 +115,11 @@ AUDIT = [
         "vocabulary coverage (r5): token-count groupBy with map-side "
         "partials → TakeOrderedAndProject top-V → window over V rows only",
     ),
+    (
+        "repeated_span_fraction",
+        "cross-doc boilerplate fraction (r5): two streamed shingle "
+        "explodes (no data-sized checkpoint), AQE-chosen df join",
+    ),
 ]
 
 

@@ -663,3 +663,25 @@ def test_hash_split_matches_oracle_and_is_growth_stable(spark, sf_dir):
     j = got.merge(re_split, on="doc_id", suffixes=("_old", "_new"))
     assert len(j) == len(got)
     assert (j["split_old"] == j["split_new"]).all(), "corpus growth moved docs between splits"
+
+
+def test_repeated_span_fraction_matches_oracle_and_signal(spark, sf_dir):
+    """Cross-doc boilerplate fraction: cross-engine exact on the real
+    table; and on a synthetic corpus, a verbatim-duplicated doc scores
+    exactly 1.0 while a unique-vocabulary doc scores exactly 0.0."""
+    from cca_spark.operators.dedup import repeated_span_fraction, repeated_span_fraction_over
+    from cca_spark.oracles_training import repeated_span_fraction_sql
+    from tests.util import assert_matches_oracle
+
+    df = repeated_span_fraction(spark, sf_dir)
+    assert_matches_oracle(df, repeated_span_fraction_sql(), min_rows=100, sf_dir=sf_dir)
+    shared = " ".join(f"w{i}" for i in range(20))
+    unique = " ".join(f"u{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, shared), (2, shared), (3, unique)], columns=["doc_id", "text"]
+        )
+    )
+    got = repeated_span_fraction_over(corpus).toPandas().set_index("doc_id")
+    assert got.loc[1, "repeated_frac"] == 1.0 and got.loc[2, "repeated_frac"] == 1.0
+    assert got.loc[3, "repeated_frac"] == 0.0
