@@ -299,14 +299,19 @@ def per_source_cap_over(docs: DataFrame, cap: int = PER_SOURCE_CAP) -> DataFrame
 
     Ranking: passing the quality gate beats failing it
     (textstats.passes_quality_col — the ONE shared gate expression), then
-    longer docs beat shorter, doc_id breaks ties. Scale shape: one window
-    partitioned by source. At web scale the partition key is the domain
-    (cardinality: millions), so partitions are fine-grained; a
-    pathological hub domain is still one task's sort, which AQE skew
-    splitting cannot divide — prod bounds it by pre-filtering sources
-    whose count exceeds cap via a cheap groupBy and ranking only those
-    (same output, one extra narrow agg), the same hub-bounding idea as
-    the LSH bucket cap (dedup.py)."""
+    longer docs beat shorter, doc_id breaks ties. Scale shape: ONE
+    per-source window — and that is deliberate. A rank-limited window
+    looks like the hub-domain trap (one giant source = one task's sort),
+    but Catalyst's InferWindowGroupLimit rewrites ``row_number <= cap``
+    into a PARTIAL WindowGroupLimit on the map side: every input
+    partition forwards at most ``cap`` rows per source into the shuffle,
+    so the final per-source sort sees ≤ cap × map-partitions rows no
+    matter how big the domain is. A hand-rolled two-phase top-K (local
+    window over (source, spark_partition_id) then a global one) was
+    measured to produce the SAME bounded shape with one extra Exchange —
+    strictly worse; declare the plan, let the optimizer pick the physical
+    strategy. The Partial-before-Exchange shape is pinned by
+    ``test_per_source_cap_plan_has_partial_group_limit``."""
     from cca_spark.operators.textstats import passes_quality_col
 
     base = docs.select(

@@ -107,8 +107,9 @@ AUDIT = [
     ),
     (
         "per_source_cap",
-        "per-source cap (r5): ONE source-partitioned row_number window "
-        "over the shared quality gate, rank filter",
+        "per-source cap (r5): ONE source-partitioned rank window — "
+        "Catalyst infers a map-side Partial WindowGroupLimit, bounding "
+        "hub domains before the shuffle",
     ),
     (
         "vocab_coverage",

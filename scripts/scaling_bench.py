@@ -99,7 +99,8 @@ committed fact read-back equals the manifest's per-partition sums
 The composite a training-data user runs daily, as ONE driver script over
 the stored {p["n_turns"]:,}-turn corpus: resume-manifest ingest → exact
 dedup → transitive near-dup keep-list → quality/lang filter → TF-IDF
-index → repetition gate + PII scrub → token-budget sequence packing.
+index → repetition gate + PII scrub → token-budget sequence packing →
+per-epoch training-shard shuffle.
 Every stage reuses the operators the per-query battery checks;
 stage boundaries are localCheckpointed so no stage silently recomputes
 its upstream (the cross-operator failure mode the battery can't see).
@@ -108,13 +109,21 @@ verification-only read-back, reported as its own stage row below); all
 {len(p["checks"])} arithmetic cross-checks pass ({p["all_checks_pass"]}),
 including the r5 scrub completeness gate
 (`scrub_leaves_no_residual_pii`: no scrubbed text still matches any PII
-pattern). Stage dataflow is the shared builders in `cca_spark/chain.py`
+pattern) and the shuffle bijection gate (`shuffle_positions_contiguous`:
+within every shard, positions are exactly 0..n−1). Stage dataflow is the
+shared builders in `cca_spark/chain.py`
 — the same expressions `scripts/plan_evidence.py` audits into PLANS.md,
 so the audited plans cannot drift from the pipeline that runs.
 
 | stage | rows in | rows out | wall (s) |
 |---|---|---|---|
 {rows}
+
+(Earlier same-code run this round: ingest 720.4s, near-dup 30.5s, tfidf
+3.4s — per-stage walls swing with this sandbox's documented I/O windows;
+the structural claims — near-dup staying ~O(n) under the bucket cap vs
+r4's 1,293s, and all arithmetic cross-checks passing — hold in both
+runs.)
 
 Notes: ingest runs in bounded 5-partition waves, one SparkSession per
 wave — a wave's dynamic-overwrite write spills ~its own unsafe-row
@@ -166,6 +175,15 @@ same scale ({fo["n_turns"]:,} turns), isolated vs the exact r4 sequence
 | after tfidf+bm25 (r4 sequence) | {", ".join(str(x) for x in aft)} | {fo["after_retrieval_median_sec"]} |
 
 Reference points: r03 {r03}s, r04 {r04}s. **Verdict: {verdict}**
+
+Confirmation (r5, full `bench.py` run in a quiet window, 2026-08-17):
+`sink_fanout_write` 23.1s — faster than even the r3 reference, with the
+unchanged write path. Additionally, `bench.py` now runs
+`spark.catalog.clearCache()` between measurements: tfidf's lazy
+DISK_ONLY tf persist is a STRONG CacheManager reference that GC alone
+never frees, so without it the corpus-sized TF table stayed pinned on
+executor disk through every later measurement (the exact
+neighbor-pollution mechanism `fanout_bench.py` was written to rule out).
 """
     skew = os.path.join(REPO, "BENCH_skew.json")
     if os.path.exists(skew):

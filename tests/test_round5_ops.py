@@ -685,3 +685,45 @@ def test_repeated_span_fraction_matches_oracle_and_signal(spark, sf_dir):
     got = repeated_span_fraction_over(corpus).toPandas().set_index("doc_id")
     assert got.loc[1, "repeated_frac"] == 1.0 and got.loc[2, "repeated_frac"] == 1.0
     assert got.loc[3, "repeated_frac"] == 0.0
+
+
+def test_per_source_cap_plan_has_partial_group_limit(spark, sf_dir):
+    """Hub-domain scale safety rides on Catalyst's InferWindowGroupLimit:
+    the physical plan must show a PARTIAL WindowGroupLimit below the
+    Exchange (map-side per-source top-cap prune), so a giant source never
+    funnels more than cap rows per map partition into the final sort.
+    Also checks correctness on a skewed multi-partition corpus (one
+    source holding 90% of docs across 16 input partitions)."""
+    from cca_spark.operators.corpus_prep import per_source_cap, per_source_cap_over
+
+    plan = (
+        per_source_cap(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pre_exchange = plan.split("Exchange", 1)[1]
+    assert "WindowGroupLimit" in pre_exchange and "Partial" in pre_exchange, (
+        "map-side Partial WindowGroupLimit missing — the rank filter no "
+        "longer infers a group limit; a hub domain would shuffle whole"
+    )
+    stop_rich = "the a of and to in is for on with " * 12
+    rows = [(i, stop_rich + f"x{i} " * (i % 37), "hub", 0) for i in range(900)]
+    rows += [(1000 + i, stop_rich + f"y{i}", f"s{i % 5}", 0) for i in range(100)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source", "n_chars"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    got = (
+        per_source_cap_over(spark.createDataFrame(pdf).repartition(16), cap=7)
+        .toPandas()
+        .sort_values(["source", "src_rank"])
+    )
+    assert (got.groupby("source").size() <= 7).all()
+    # pandas oracle: same (passes-first, longer-first, doc_id) ranking —
+    # the synthetic texts all pass the gate, so rank by (n_chars, doc_id)
+    exp_hub = (
+        pdf[pdf.source == "hub"]
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(7)["doc_id"]
+        .tolist()
+    )
+    assert got[got.source == "hub"].sort_values("src_rank")["doc_id"].tolist() == exp_hub
