@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (1) new/changed code — streaming_dedup_ttl (new: EventTimeTimeout
         state eviction), pii_scrub + ngram_decontaminate +
         repetition_filter + lm_unigram_score + pack_token_budget +
+        pack_assemble +
         mixture_weighted_sample + corpus_shard_shuffle + per_source_cap +
         vocab_coverage + hash_split + ngram_containment +
         repeated_span_fraction +
@@ -396,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": DC.repetition_filter,  # new r5
         "lm_unigram_score": CP.lm_unigram_logprob,  # new r5
         "pack_token_budget": CP.pack_token_budget,  # new r5
+        "pack_assemble": CP.pack_assemble,  # new r5
         "mixture_weighted_sample": CP.mixture_weighted_sample,  # new r5
         "corpus_shard_shuffle": CP.corpus_shard_shuffle,  # new r5
         "per_source_cap": CP.per_source_cap,  # new r5
@@ -579,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": OT.repetition_filter_sql(),
         "lm_unigram_score": OT.lm_unigram_logprob_sql(),
         "pack_token_budget": OT.pack_token_budget_sql(),
+        "pack_assemble": OT.pack_assemble_sql(),
         "mixture_weighted_sample": OT.mixture_weighted_sample_sql(),
         "corpus_shard_shuffle": OT.corpus_shard_shuffle_sql(),
         "per_source_cap": OT.per_source_cap_sql(),

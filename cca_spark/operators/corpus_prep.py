@@ -185,6 +185,52 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_budget_over(_read_docs(spark, sf_dir))
 
 
+def pack_assemble_over(
+    docs: DataFrame, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Materialize the packed TRAINING SEQUENCES from the packing
+    assignments — the last step of corpus → batches: per (shard, bin),
+    member docs concatenated in stream order. The output carries the
+    md5 of each assembled sequence instead of the sequence text (the
+    content is doc-count × budget tokens; the hash is what a writer
+    manifest or a cross-engine check needs, and it pins byte-exact
+    assembly order).
+
+    Order inside a bin is (offset_in_bin, doc_id) — offsets are strictly
+    increasing for non-empty docs (the cumsum steps by n_tokens), and
+    zero-token docs tie on offset and fall back to doc_id, so the sort is
+    total in both engines. Scale shape: the assignments join back to the
+    doc table on doc_id, then ONE groupBy(shard, bin) whose groups are
+    budget-bounded; array_sort runs per group over its own members only
+    (no window, no global sort)."""
+    packed = pack_token_budget_over(docs, budget=budget, shards=shards)
+    joined = packed.join(docs.select("doc_id", "text"), "doc_id")
+    parts = F.array_sort(
+        F.collect_list(F.struct("offset_in_bin", "doc_id", "text"))
+    )
+    return (
+        joined.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            parts.alias("_parts"),
+        )
+        .select(
+            "shard",
+            "bin_id",
+            "n_docs",
+            "bin_tokens",
+            F.md5(
+                F.concat_ws(" ", F.transform("_parts", lambda p: p["text"]))
+            ).alias("seq_md5"),
+        )
+    )
+
+
+def pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_assemble_over(_read_docs(spark, sf_dir))
+
+
 def mixture_weighted_sample_over(
     docs: DataFrame, weights: dict[str, float] | None = None
 ) -> DataFrame:

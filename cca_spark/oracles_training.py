@@ -1113,3 +1113,43 @@ SELECT s.doc_id,
 FROM shd s JOIN dfreq d USING (shingle)
 GROUP BY s.doc_id
 """
+
+
+def pack_assemble_sql(budget: int | None = None, shards: int | None = None) -> str:
+    """Oracle for corpus_prep.pack_assemble: the packing CTE is the
+    pack_token_budget oracle's arithmetic; assembly is string_agg in
+    (offset_in_bin, doc_id) order — the same total order array_sort uses
+    on the (offset, doc_id, text) structs Spark-side."""
+    from cca_spark.operators.corpus_prep import PACK_BUDGET, PACK_SHARDS
+
+    budget = PACK_BUDGET if budget is None else budget
+    shards = PACK_SHARDS if shards is None else shards
+    return f"""
+WITH sized AS (
+  SELECT doc_id, text,
+    cast(((doc_id % {shards}) + {shards}) % {shards} AS int) AS shard,
+    cast(len(list_filter(string_split(text, ' '), t -> t <> '')) AS bigint)
+      AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, text, shard, n_tokens,
+    cast(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS bigint) - n_tokens AS cum_before
+  FROM sized
+),
+assigned AS (
+  SELECT doc_id, text, shard, n_tokens,
+    cast(cum_before // {budget} AS int) AS bin_id,
+    cast(cum_before % {budget} AS bigint) AS offset_in_bin
+  FROM cum
+)
+SELECT shard, bin_id,
+  cast(count(*) AS bigint) AS n_docs,
+  cast(sum(n_tokens) AS bigint) AS bin_tokens,
+  md5(string_agg(text, ' ' ORDER BY offset_in_bin, doc_id)) AS seq_md5
+FROM assigned
+GROUP BY shard, bin_id
+"""

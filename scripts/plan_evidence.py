@@ -117,6 +117,12 @@ AUDIT = [
         "partials → TakeOrderedAndProject top-V → window over V rows only",
     ),
     (
+        "pack_assemble",
+        "packed-sequence assembly (r5): assignments⋈texts join, ONE "
+        "budget-bounded groupBy(shard, bin) with per-group array_sort — "
+        "no window, no global sort",
+    ),
+    (
         "repeated_span_fraction",
         "cross-doc boilerplate fraction (r5): two streamed shingle "
         "explodes (no data-sized checkpoint), AQE-chosen df join",

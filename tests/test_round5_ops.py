@@ -727,3 +727,32 @@ def test_per_source_cap_plan_has_partial_group_limit(spark, sf_dir):
         .tolist()
     )
     assert got[got.source == "hub"].sort_values("src_rank")["doc_id"].tolist() == exp_hub
+
+
+def test_pack_assemble_matches_oracle_and_reassembles(spark, sf_dir):
+    """Packed-sequence assembly: cross-engine exact (the seq md5 pins
+    byte-exact member order); totals reconcile with the assignments; and
+    a synthetic bin's hash equals a hand-computed concatenation."""
+    import hashlib
+
+    from cca_spark.operators.corpus_prep import pack_assemble, pack_assemble_over, pack_token_budget
+    from cca_spark.oracles_training import pack_assemble_sql
+    from tests.util import assert_matches_oracle
+
+    df = pack_assemble(spark, sf_dir)
+    assert_matches_oracle(df, pack_assemble_sql(), min_rows=20, sf_dir=sf_dir)
+    got = df.toPandas()
+    assignments = pack_token_budget(spark, sf_dir).toPandas()
+    assert got["n_docs"].sum() == len(assignments)
+    assert got["bin_tokens"].sum() == assignments["n_tokens"].sum()
+    # hand oracle: 3 docs, one shard, tiny budget -> docs 0,32 pack into
+    # shard 0 (pmod 32); budget 5 puts both in bin 0 (2+2 tokens)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a b"), (32, "c d"), (1, "e f")], columns=["doc_id", "text"]
+        )
+    )
+    out = pack_assemble_over(docs, budget=5, shards=32).toPandas()
+    row = out[(out.shard == 0) & (out.bin_id == 0)].iloc[0]
+    assert row["n_docs"] == 2
+    assert row["seq_md5"] == hashlib.md5(b"a b c d").hexdigest()
