@@ -756,3 +756,50 @@ def test_pack_assemble_matches_oracle_and_reassembles(spark, sf_dir):
     row = out[(out.shard == 0) & (out.bin_id == 0)].iloc[0]
     assert row["n_docs"] == 2
     assert row["seq_md5"] == hashlib.md5(b"a b c d").hexdigest()
+
+
+def test_http_query_service_serves_battery(spark, sf_dir):
+    """The HTTP service (reference web-service analog) must serve the
+    battery over a long-lived session: health, the query list, a real
+    query whose rows equal direct execution, a 404 for unknown names,
+    and a limit that reaches the plan (CollectLimit, not a slice)."""
+    import json
+    import urllib.request
+
+    from cca_spark.service import serve
+
+    server = serve(spark)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(f"{base}{path}", timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    try:
+        code, health = get("/health")
+        assert code == 200 and health["ok"]
+        code, listing = get("/queries")
+        assert code == 200 and "token_count" in listing["queries"]
+        code, res = get(f"/query/token_count?sf_dir={sf_dir}&limit=10000")
+        assert code == 200 and res["n_rows"] >= 100
+        assert {c["name"] for c in res["schema"]} == {
+            "doc_id", "ws_tokens", "bpe_ish_tokens"
+        }
+        import __spark_entry__ as entrymod
+
+        direct = {
+            r["doc_id"]: r["ws_tokens"]
+            for r in entrymod.queries()["token_count"](spark, sf_dir).collect()
+        }
+        served = {r["doc_id"]: r["ws_tokens"] for r in res["rows"]}
+        assert served == direct
+        code, res = get(f"/query/token_count?sf_dir={sf_dir}&limit=7")
+        assert code == 200 and res["n_rows"] == 7
+        try:
+            code, _ = get("/query/not_a_query")
+            assert False, "unknown query must 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
