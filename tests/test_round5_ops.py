@@ -803,3 +803,24 @@ def test_http_query_service_serves_battery(spark, sf_dir):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_similarity_cli_scores_pairs(spark, sf_dir):
+    """simast-analog: a conversation against itself scores exact
+    match / jaccard 1.0 / token_sim 1.0; two different conversations
+    score below 1.0 on all three."""
+    from cca_spark.transcripts import load_transcripts
+    from scripts.similarity_cli import conv_similarity
+
+    convs = [
+        r["conv_id"]
+        for r in load_transcripts(spark, sf_dir)
+        .select("conv_id").distinct().orderBy("conv_id").limit(2).collect()
+    ]
+    assert len(convs) == 2
+    same = conv_similarity(spark, sf_dir, convs[0], convs[0])
+    assert same["exact"] and same["jaccard"] == 1.0 and same["token_sim"] == 1.0
+    diff = conv_similarity(spark, sf_dir, convs[0], convs[1])
+    assert not diff["exact"]
+    assert diff["jaccard"] < 1.0 and diff["token_sim"] < 1.0
+    assert diff["n_tokens_a"] > 0 and diff["n_tokens_b"] > 0
