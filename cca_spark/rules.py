@@ -99,11 +99,28 @@ def sig_fn(rule: Rule):
     d, base = rule.derive, rule.significance
     cmp = _OPS[d.op]
 
+    def to_int32(s) -> int | None:
+        # match try_cast(... AS int) of BOTH SQL paths on the reachable
+        # domain (every deriving capture is (\d+)/(\d), so the string is
+        # pure ASCII digits): values past int32 come back NULL in SQL and
+        # must fall through to the base here too, or an 11-digit capture
+        # (bytes=, user id) silently forks the pandas kernel from the
+        # Spark-SQL strategy and the DuckDB oracle. Pinned by the
+        # tests/test_properties.py three-way fuzz.
+        if s is None:
+            return None
+        v = int(s)
+        return v if -(2**31) <= v < 2**31 else None
+
     def fn(m) -> int:
         try:
-            lhs = int(m.group(d.lhs_group))
-            rhs = d.rhs_const if d.rhs_group is None else int(m.group(d.rhs_group))
+            lhs = to_int32(m.group(d.lhs_group))
+            rhs = (
+                d.rhs_const if d.rhs_group is None else to_int32(m.group(d.rhs_group))
+            )
         except (TypeError, ValueError):
+            return base
+        if lhs is None or rhs is None:
             return base
         return d.sig_true if cmp(lhs, rhs) else base
 

@@ -137,3 +137,45 @@ def test_multimodal_wav_payload_roundtrip(doc_id):
     assert n == n_expected
     assert s == sum(samples)
     assert sq == sum(v * v for v in samples)
+
+
+@given(
+    lhs=st.one_of(
+        st.from_regex(r"[0-9]{1,12}", fullmatch=True),
+        st.integers(min_value=2**31 - 3, max_value=2**31 + 3).map(str),
+    ),
+    rhs=st.from_regex(r"[0-9]{1,12}", fullmatch=True),
+)
+@settings(max_examples=80, deadline=None)
+def test_sig_derive_python_matches_duckdb_case(lhs, rhs):
+    """Three-way significance parity on the reachable capture domain
+    (every deriving rule captures (\\d+)/(\\d) — pure digit strings,
+    including ones past int32): the pandas kernel's sig_fn must equal the
+    generated SQL CASE evaluated by the oracle engine, for EVERY deriving
+    rule in the bank. Past-int32 captures are where Python int() and SQL
+    try_cast(int) genuinely diverge unless the kernel clamps."""
+    import duckdb
+
+    from cca_spark.rules import RULES, sig_case_sql, sig_fn
+
+    class FakeMatch:
+        def __init__(self, groups):
+            self._g = groups
+
+        def group(self, i):
+            return self._g.get(i)
+
+    for rule in RULES:
+        if rule.derive is None:
+            continue
+        d = rule.derive
+        groups = {d.lhs_group: lhs}
+        if d.rhs_group is not None:
+            groups[d.rhs_group] = rhs
+        py = sig_fn(rule)(FakeMatch(groups))
+        # render extract(g) as the literal capture string the regex
+        # would have produced — the CASE sees exactly what SQL's
+        # regexp_extract would hand it
+        sql = sig_case_sql(rule, lambda g: f"'{groups[g]}'")
+        got = duckdb.sql(f"SELECT {sql} AS s").fetchone()[0]
+        assert got == py, (rule.rule_id, lhs, rhs, got, py)
