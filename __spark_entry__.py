@@ -312,6 +312,15 @@ def q_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ontology_closure_df(spark)
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format query: parquet -> JSONL -> read back -> per-source
+    order-independent content digest; must hash-match the oracle computed
+    over the ORIGINAL parquet (lossless textual round-trip)."""
+    from cca_spark.sources.interchange import jsonl_roundtrip_digest
+
+    return jsonl_roundtrip_digest(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is PRIORITY order — the driver's correctness battery
     caps at ~50 entries, so the ROTATION POLICY (VERDICT r02 #1) is:
@@ -326,7 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_filter + lm_unigram_score + pack_token_budget +
         pack_assemble +
         mixture_weighted_sample + corpus_shard_shuffle + per_source_cap +
-        vocab_coverage + hash_split + ngram_containment +
+        vocab_coverage + hash_split + jsonl_roundtrip + ngram_containment +
         repeated_span_fraction +
         dedup_canonical_by_quality (new r5 corpus-hygiene/assembly
         family), ann_ivf_trained (newly
@@ -403,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": CP.per_source_cap,  # new r5
         "vocab_coverage": CP.vocab_coverage,  # new r5
         "hash_split": CP.hash_split,  # new r5
+        "jsonl_roundtrip": _q_jsonl_roundtrip,  # new r5
         "ngram_containment": DD.ngram_containment_pairs,  # new r5
         "repeated_span_fraction": DD.repeated_span_fraction,  # new r5
         "ann_ivf_trained": SIM.ivf_ann_trained,  # hash-oracled r5 (6dp Lloyd)
@@ -587,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "per_source_cap": OT.per_source_cap_sql(),
         "vocab_coverage": OT.vocab_coverage_sql(),
         "hash_split": OT.hash_split_sql(),
+        "jsonl_roundtrip": OT.jsonl_roundtrip_sql(),
         "ngram_containment": OT.ngram_containment_sql(),
         "repeated_span_fraction": OT.repeated_span_fraction_sql(),
         "lang_id_heuristic": OT.lang_id_sql(),

@@ -1153,3 +1153,20 @@ SELECT shard, bin_id,
 FROM assigned
 GROUP BY shard, bin_id
 """
+
+
+def jsonl_roundtrip_sql() -> str:
+    """Oracle for sources.interchange.jsonl_roundtrip_digest: the SAME
+    order-independent per-source digest computed over the ORIGINAL
+    parquet — if the JSONL round-trip altered one byte of one text, the
+    md5-prefix bit_xor digest diverges."""
+    return """
+SELECT source,
+  cast(count(*) AS bigint) AS n_docs,
+  cast(sum(n_chars) AS bigint) AS sum_chars,
+  cast(bit_xor(cast(concat('0x',
+       substr(md5(cast(doc_id AS varchar) || ':' || text), 1, 15))
+     AS bigint)) AS bigint) AS content_digest
+FROM documents
+GROUP BY source
+"""

@@ -824,3 +824,50 @@ def test_similarity_cli_scores_pairs(spark, sf_dir):
     assert not diff["exact"]
     assert diff["jaccard"] < 1.0 and diff["token_sim"] < 1.0
     assert diff["n_tokens_a"] > 0 and diff["n_tokens_b"] > 0
+
+
+def test_jsonl_roundtrip_matches_oracle(spark, sf_dir):
+    """Interchange: parquet -> JSONL -> read-back digest must equal the
+    oracle's digest over the ORIGINAL parquet (lossless text round-trip,
+    order-independent bit_xor of content hashes)."""
+    from cca_spark.sources.interchange import jsonl_roundtrip_digest
+    from cca_spark.oracles_training import jsonl_roundtrip_sql
+    from tests.util import assert_matches_oracle
+
+    assert_matches_oracle(
+        jsonl_roundtrip_digest(spark, sf_dir),
+        jsonl_roundtrip_sql(),
+        min_rows=5,
+        sf_dir=sf_dir,
+    )
+
+
+def test_csv_roundtrip_survives_adversarial_text(spark, tmp_path):
+    """CSV round-trip with the characters that break naive CSV: commas,
+    double quotes, embedded newlines, unicode, leading/trailing spaces —
+    every field must come back byte-identical."""
+    rows = [
+        (1, 'plain text', "en", "s0", 10),
+        (2, 'comma, separated, values', "en", "s1", 24),
+        (3, 'she said "hello" twice: ""', "en", "s0", 26),
+        (4, 'line one\nline two\r\nline three', "en", "s1", 29),
+        (5, '  padded  ', "en", "s0", 10),
+        (6, 'unicode: naïve café 日本語 🚀', "fr", "s1", 25),
+        (7, 'quote-comma: ",", and "",""', "en", "s0", 27),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    from cca_spark.sources.interchange import (
+        read_documents_csv,
+        write_documents_csv,
+    )
+
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "csv_rt")
+    write_documents_csv(df, out)
+    back = (
+        read_documents_csv(spark, out)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
