@@ -338,7 +338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vocab_coverage + hash_split + jsonl_roundtrip + ngram_containment +
         repeated_span_fraction +
         dedup_canonical_by_quality (new r5 corpus-hygiene/assembly
-        family), ann_ivf_trained (newly
+        family), parse_route_facts + parse_facts_sql_strategy +
+        pipeline_agg_per_sink (sig_fn int32 clamp touched the shared
+        parse kernel), ann_ivf_trained (newly
         hash-oracled via 6dp fixed-point Lloyd means), bm25_retrieval
         (TakeOrderedAndProject top-k), tfidf_top_terms (lazy DISK_ONLY tf
         cache), dedup_minhash_lsh + dedup_keep_list_transitive
@@ -421,6 +423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": DD.minhash_lsh_pairs,  # dense-bucket cap (r5)
         "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,  # ditto
         "dedup_canonical_by_quality": DD.dedup_canonical_by_quality,  # new r5
+        # the sig_fn int32 clamp (rules.py) changed the shared parse
+        # kernel late in r5 — the queries that exercise it re-evidence
+        # at the head, not from slack
+        "parse_route_facts": q_parse_facts,
+        "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
+        "pipeline_agg_per_sink": q_pipeline_agg,
     }
     # ---- head 2: last driver row is r3 (r4's shadow + ann_ivf_nprobe
     # which missed the r4 cap) — every one gets a fresh CORRECTNESS_r05 row
@@ -447,13 +455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~50-cap has room — pipeline/streaming families first, they ride the
     # shared parse kernel)
     slack = {
-        "pipeline_agg_per_sink": q_pipeline_agg,
         "streaming_pipeline_agg": q_streaming_pipeline_agg,
         "streaming_windowed_agg": q_streaming_windowed_agg,
         "streaming_stateful_totals": q_streaming_stateful_totals,
         "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
-        "parse_route_facts": q_parse_facts,
-        "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
         "enrich_tool_ontology": q_enriched_facts,
         "route_dead_letter": q_dead_letter,
         "coverage_rollup": q_coverage_rollup,
