@@ -80,6 +80,16 @@ def mixture_threshold_hex(weight: float) -> str:
     return "g" if weight >= 1.0 else format(int(weight * _MIX_SPACE), "08x")
 
 
+def md5_prefix60(s) -> "F.Column":
+    """THE cross-engine 60-bit hash key: first 15 hex chars of md5(s)
+    parsed as a bigint — Spark ``conv(_, 16, 10)``, DuckDB
+    ``('0x' || _)::bigint``, byte-identical. Defined ONCE (used by the
+    shard shuffle and the interchange digest); widening the prefix past
+    15 chars overflows bigint, so a re-typed copy that drifts is a
+    parity fork — build from this, never inline."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
 def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
@@ -305,19 +315,9 @@ def corpus_shard_shuffle_over(
     bm25/packing unpartitioned-window discipline), and the md5 key makes
     shard sizes uniform regardless of doc_id distribution, so there is no
     skewed partition to salt."""
-    key = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("shuffle_key")
-    )
+    key = md5_prefix60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))
+    ).alias("shuffle_key")
     keyed = docs.select("doc_id", key).select(
         "doc_id",
         "shuffle_key",
@@ -452,14 +452,13 @@ def hash_split_over(
     key = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))), 1, 8
     )
-    split = None
+    # seed the chain with a never-true arm so a single-entry fractions
+    # tuple (no holdout) degrades to "everything in the ELSE split"
+    # instead of None.otherwise(...)
+    split = F.when(F.lit(False), F.lit(""))
     for name, frac in fractions[:-1]:
         cum += frac
-        thr = F.lit(mixture_threshold_hex(cum))
-        cond = key < thr
-        split = F.when(cond, F.lit(name)) if split is None else split.when(
-            cond, F.lit(name)
-        )
+        split = split.when(key < F.lit(mixture_threshold_hex(cum)), F.lit(name))
     split = split.otherwise(F.lit(fractions[-1][0]))
     return docs.select("doc_id", split.alias("split"), key.alias("split_key"))
 

@@ -43,6 +43,11 @@ DEFAULT_LIMIT = 1000
 MAX_LIMIT = 100_000
 
 
+class UnknownQuery(KeyError):
+    """Name not in the registry — a KeyError raised INSIDE a query's own
+    execution must not be misreported as 404 'unknown query'."""
+
+
 def _json_safe(v):
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
@@ -68,8 +73,8 @@ class QueryService:
     def run(self, name: str, sf_dir: str, limit: int) -> dict:
         fn = self.queries.get(name)
         if fn is None:
-            raise KeyError(name)
-        limit = max(1, min(int(limit), MAX_LIMIT))
+            raise UnknownQuery(name)
+        limit = max(1, min(limit, MAX_LIMIT))
         with self.lock:
             df = fn(self.spark, sf_dir).limit(limit)
             rows = [
@@ -108,11 +113,18 @@ def _make_handler(svc: QueryService):
                     name = u.path[len("/query/"):]
                     q = parse_qs(u.query)
                     sf_dir = q.get("sf_dir", [DEFAULT_SF_DIR])[0]
-                    limit = q.get("limit", [str(DEFAULT_LIMIT)])[0]
+                    raw_limit = q.get("limit", [str(DEFAULT_LIMIT)])[0]
+                    try:
+                        limit = int(raw_limit)
+                    except ValueError:
+                        self._send(
+                            400, {"error": f"limit must be an int: {raw_limit!r}"}
+                        )
+                        return
                     self._send(200, svc.run(name, sf_dir, limit))
                 else:
                     self._send(404, {"error": f"no route {u.path}"})
-            except KeyError as e:
+            except UnknownQuery as e:
                 self._send(404, {"error": f"unknown query {e}"})
             except Exception as e:  # surface, don't kill the server
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})

@@ -104,23 +104,27 @@ def jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 60-bit keys overflows int64 (ANSI Spark raises; DuckDB silently
     widens to HUGEINT — a cross-engine fork), while XOR is closed over
     int64 and commutative at any corpus size."""
+    import hashlib
     import tempfile
 
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    # ONE deterministic dir per sf_dir, overwritten in place — a fresh
+    # mkdtemp per call leaked a corpus-sized JSONL copy on every battery
+    # run / pytest / HTTP hit until the disk filled
+    out = (
+        tempfile.gettempdir()
+        + "/jsonl_rt_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
     write_documents_jsonl(docs, out)
     back = read_documents_jsonl(spark, out)
-    key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from cca_spark.operators.corpus_prep import md5_prefix60
+
+    key = md5_prefix60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
     return back.select("source", "n_chars", key.alias("k")).groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),

@@ -346,25 +346,27 @@ def main() -> None:
         n_shuffled = shuffled.count()
         w = time.time() - t0
         checks["shuffle_preserves_rows"] = n_shuffled == n_scrubbed
-        # positions must be a permutation of 0..n_i-1 within every shard:
-        # min pos 0 and max pos + 1 == shard size (contiguity), checked
-        # with one narrow agg — together with count-distinct doc_id
-        # preservation via n_shuffled this pins the shuffle's bijection
+        # positions must be a permutation of 0..n_i-1 within every shard.
+        # min==0 and max+1==n alone pass on duplicated positions with a
+        # matching gap ([0,2,2]), so DISTINCTNESS is asserted too — the
+        # three together pin the bijection
         perm = (
             shuffled.groupBy("shard")
             .agg(
                 F.min("pos").alias("mn"),
                 F.max("pos").alias("mx"),
                 F.count("*").alias("n"),
+                F.countDistinct("pos").alias("nd"),
             )
             .agg(
                 F.min(F.col("mn") == 0).alias("mn_ok"),
                 F.min(F.col("mx") + 1 == F.col("n")).alias("mx_ok"),
+                F.min(F.col("nd") == F.col("n")).alias("distinct_ok"),
             )
             .collect()[0]
         )
         checks["shuffle_positions_contiguous"] = bool(
-            perm["mn_ok"] and perm["mx_ok"]
+            perm["mn_ok"] and perm["mx_ok"] and perm["distinct_ok"]
         )
         stages.append(
             {

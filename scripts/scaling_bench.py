@@ -119,8 +119,9 @@ so the audited plans cannot drift from the pipeline that runs.
 |---|---|---|---|
 {rows}
 
-(Earlier same-code run this round: ingest 720.4s, near-dup 30.5s, tfidf
-3.4s — per-stage walls swing with this sandbox's documented I/O windows;
+(Round-5 history: an earlier same-code run measured ingest 720.4s,
+near-dup 30.5s, tfidf 3.4s —
+per-stage walls swing with this sandbox's documented I/O windows;
 the structural claims — near-dup staying ~O(n) under the bucket cap vs
 r4's 1,293s, and all arithmetic cross-checks passing — hold in both
 runs.)

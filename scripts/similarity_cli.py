@@ -38,9 +38,10 @@ def conv_similarity(spark, sf_dir: str, conv_a: str, conv_b: str) -> dict:
     from cca_spark.transcripts import load_transcripts
 
     t = load_transcripts(spark, sf_dir).filter(F.col("conv_id").isin(conv_a, conv_b))
+    # NO pre-groupBy orderBy: the shuffle destroys it; turn order is
+    # established by the (turn_idx, text) struct array_sort below
     docs = (
-        t.orderBy("conv_id", "turn_idx")
-        .groupBy("conv_id")
+        t.groupBy("conv_id")
         .agg(
             F.concat_ws(
                 " ",

@@ -871,3 +871,13 @@ def test_csv_roundtrip_survives_adversarial_text(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+
+
+def test_hash_split_single_fraction_keeps_everything(spark, sf_dir):
+    """A no-holdout config (single fractions entry) must assign every doc
+    to that one split instead of crashing on an empty CASE chain."""
+    from cca_spark.operators.corpus_prep import hash_split_over
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    got = hash_split_over(docs, fractions=(("all", 1.0),)).toPandas()
+    assert (got["split"] == "all").all() and len(got) == docs.count()
