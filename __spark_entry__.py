@@ -222,7 +222,13 @@ def _staged_stream_input_ts_ordered(spark: SparkSession, sf_dir: str, n_chunks: 
             .parquet(tmp_out)
         )
         part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(input_dir, f"chunk_{i:05d}.parquet"))
+        dest = os.path.join(input_dir, f"chunk_{i:05d}.parquet")
+        shutil.move(part, dest)
+        # pin strictly increasing mtimes explicitly (ADVICE r05): on a
+        # coarse-mtime filesystem two sequentially written chunks can tie
+        # and be delivered out of order by the file source, silently
+        # dropping late rows vs the batch oracle
+        os.utime(dest, ns=(1_000_000_000 * (i + 1), 1_000_000_000 * (i + 1)))
         shutil.rmtree(tmp_out, ignore_errors=True)
     with open(done, "w") as f:
         f.write("ok")

@@ -119,6 +119,17 @@ FACT_COLUMNS = [
     "value",
 ]
 
+# What the full pandas kernel emits through Arrow: FACT_COLUMNS minus the
+# derived entity_id, which parse_facts reattaches as a JVM concat_ws
+# projection (r6) — identical bytes, built in codegen instead of pandas.
+KERNEL_FACT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, "
+    "tool string, ts timestamp_ntz, rule_id string, sink string, "
+    "significance int, span_start int, span_end int, value string"
+)
+
+KERNEL_FACT_COLUMNS = [c for c in FACT_COLUMNS if c != "entity_id"]
+
 # Slim fact stream: manual column pruning THROUGH the UDF boundary.
 # Catalyst cannot push a projection into an opaque mapInPandas, so callers
 # that never read entity_id/span/value (the flagship aggregate) request the
@@ -275,15 +286,130 @@ def _extract_batch_partials(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.Data
     return out[["conv_id", "tool", "date_bucket", "sink", "n"]]
 
 
+def _extract_partials_arrow(batch):
+    """Arrow-native partials kernel (r6): per-rule match COUNTS via
+    pyarrow's RE2 (``count_substring_regex``) directly on the incoming
+    Arrow batch — the ``text`` column never becomes Python string objects
+    (guide §4.2: hand whole batches to vectorized native code).
+
+    Equivalence argument: the DuckDB oracle already evaluates this exact
+    rule bank through RE2 (``regexp_extract_all``) and hash-matches the
+    Python-re kernels, so RE2-vs-re count parity on this pattern subset is
+    oracle-proven; additionally pinned per-rule by
+    test_arrow_partials_kernel_parity. Scoped rules mask their counts by
+    role/tool equality BEFORE the per-sink accumulation, exactly like the
+    pandas kernel. The grouping tail stays in pandas over the (small)
+    nonzero key rows — pyarrow's TableGroupBy was measured emitting
+    duplicate (unmerged) groups on multi-chunk real-data input, and while
+    duplicate PARTIALS would still aggregate correctly downstream, the
+    kernel output should stay deterministic.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx = {name: i for i, name in enumerate(batch.schema.names)}
+    texts = batch.column(idx["text"])
+    roles_arr = batch.column(idx["role"])
+    tools_arr = batch.column(idx["tool"])
+    sink_counts: dict[str, np.ndarray] = {}
+    role_masks: dict[str, np.ndarray] = {}
+    tool_masks: dict[str, np.ndarray] = {}
+    for rule in RULES:
+        cnt = (
+            pc.fill_null(pc.count_substring_regex(texts, pattern=rule.pattern), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if not cnt.any():
+            continue
+        mask = None
+        if rule.role_scope is not None:
+            m = role_masks.get(rule.role_scope)
+            if m is None:
+                m = pc.fill_null(pc.equal(roles_arr, rule.role_scope), False).to_numpy(
+                    zero_copy_only=False
+                )
+                role_masks[rule.role_scope] = m
+            mask = m
+        if rule.tool_scope is not None:
+            m = tool_masks.get(rule.tool_scope)
+            if m is None:
+                m = pc.fill_null(pc.equal(tools_arr, rule.tool_scope), False).to_numpy(
+                    zero_copy_only=False
+                )
+                tool_masks[rule.tool_scope] = m
+            mask = m if mask is None else (mask & m)
+        if mask is not None:
+            cnt = np.where(mask, cnt, 0)
+            if not cnt.any():
+                continue
+        acc = sink_counts.get(rule.sink)
+        if acc is None:
+            sink_counts[rule.sink] = cnt
+        else:
+            acc += cnt
+    if not sink_counts:
+        return None
+    date = pc.floor_temporal(batch.column(idx["ts"]), unit="day")
+    base = pd.DataFrame(
+        {
+            "conv_id": batch.column(idx["conv_id"]).to_pandas(),
+            "tool": tools_arr.to_pandas(),
+            "date_bucket": date.to_pandas(),
+        }
+    )
+    outs = []
+    for sink, arr in sink_counts.items():
+        nzm = arr > 0
+        if not nzm.any():
+            continue
+        g = base[nzm].copy()
+        g["n"] = arr[nzm]
+        g["sink"] = sink
+        outs.append(g)
+    if not outs:
+        return None
+    facts = pd.concat(outs, ignore_index=True)
+    out = (
+        facts.groupby(["conv_id", "tool", "date_bucket", "sink"], dropna=False)["n"]
+        .sum()
+        .reset_index()
+    )
+    out["tool"] = out["tool"].where(pd.notna(out["tool"]), None)
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("tool", pa.string()),
+            ("date_bucket", pa.timestamp("us")),
+            ("sink", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+    return pa.RecordBatch.from_pandas(
+        out[["conv_id", "tool", "date_bucket", "sink", "n"]],
+        schema=schema,
+        preserve_index=False,
+    )
+
+
 def parse_fact_partials(transcripts: DataFrame) -> DataFrame:
-    """Per-batch partial fact counts (see _extract_batch_partials)."""
+    """Per-batch partial fact counts. r6: ``mapInArrow`` + the RE2 counting
+    kernel (_extract_partials_arrow) replaces ``mapInPandas`` + the
+    Python-re kernel — the Arrow->pandas conversion of the corpus-sized
+    ``text`` column (one Python str object per turn) disappears along
+    with the Python-loop regex counting. The pandas kernel
+    (_extract_batch_partials) stays as the reference implementation;
+    parity is pinned by test_arrow_partials_kernel_parity and the
+    end-to-end test_fused_pipeline_agg_equivalence."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bank = compile_bank()
-        for pdf in batches:
-            yield _extract_batch_partials(pdf, bank)
+    def run(batches):
+        for batch in batches:
+            out = _extract_partials_arrow(batch)
+            if out is not None:
+                yield out
 
-    return transcripts.mapInPandas(run, schema=PARTIAL_AGG_SCHEMA)
+    return transcripts.mapInArrow(run, schema=PARTIAL_AGG_SCHEMA)
 
 
 def _extract_batch(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
@@ -355,23 +481,15 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
             "value": np.array([h[4] for h in hits], dtype=object),
         }
     )
-    res["entity_id"] = (
-        res["conv_id"].astype(str)
-        + "-"
-        + res["turn_idx"].astype(str)
-        + "-"
-        + res["span_start"].astype(str)
-        + "-"
-        + res["span_end"].astype(str)
-        + "-"
-        + res["rule_id"].astype(str)
-    )
+    # entity_id is built JVM-side (parse_facts): concat_ws in codegen beats
+    # five pandas string materializations per batch, and ~35 B/fact of
+    # derived string never crosses the Arrow boundary (r6, guide §4.1)
     # explicit dtypes: a zero-match batch must still carry Arrow-castable
     # columns (an empty object/float64 'ts' breaks the timestamp cast)
     res["ts"] = pd.to_datetime(res["ts"])
-    for c in ("entity_id", "conv_id", "role", "tool", "rule_id", "sink", "value"):
+    for c in ("conv_id", "role", "tool", "rule_id", "sink", "value"):
         res[c] = res[c].astype(object)
-    return res[FACT_COLUMNS]
+    return res[KERNEL_FACT_COLUMNS]
 
 
 def parse_facts(
@@ -393,8 +511,17 @@ def parse_facts(
             for pdf in batches:
                 yield kernel(pdf, bank)
 
-        return transcripts.mapInPandas(
-            run, schema=SLIM_FACT_SCHEMA if slim else FACT_SCHEMA
+        if slim:
+            return transcripts.mapInPandas(run, schema=SLIM_FACT_SCHEMA)
+        # entity_id as a JVM projection over the kernel output (r6): same
+        # bytes as the former pandas concat, built in whole-stage codegen,
+        # and never shipped through Arrow
+        facts = transcripts.mapInPandas(run, schema=KERNEL_FACT_SCHEMA)
+        return facts.select(
+            F.concat_ws(
+                "-", "conv_id", "turn_idx", "span_start", "span_end", "rule_id"
+            ).alias("entity_id"),
+            *KERNEL_FACT_COLUMNS,
         )
 
     if strategy == "sql":
@@ -406,18 +533,30 @@ def parse_facts(
 
 def _parse_facts_sql(transcripts: DataFrame) -> DataFrame:
     """JVM-only variant: ONE scan, all rules evaluated in a single
-    whole-stage-codegen projection, nested explode.
+    projection, ONE generate (``inline``) emitting only actual matches.
 
-    Each row projects ``array<struct(rule meta, matches)>`` — one
-    ``regexp_extract_all`` per rule — then two explodes fan out to one row
-    per (rule, match). A per-rule union of full scans would read the
-    10^12-turn table N_rules times; this reads it once.
+    Each rule's ``regexp_extract_all`` match list is wrapped into
+    ``array<struct(rule_id, sink, significance, m0)>`` via ``transform``;
+    the per-rule arrays are flattened and ``inline``d, so the generator
+    emits exactly one row per (rule, match). The previous shape — explode
+    an array of N_rules structs, then explode each struct's match list —
+    materialized N_rules rows per TURN (62x the corpus, each carrying the
+    full ``text``) before the second explode dropped the empties; the
+    single-generate plan goes straight from turns to matches (guide §2.3:
+    don't materialize rows you immediately throw away). A per-rule union
+    of full scans would read the 10^12-turn table N_rules times; this
+    still reads it once.
 
     Spans are recovered with ``instr`` (valid because each rule matches at
     most one distinct substring per generated turn); the pandas strategy is
-    authoritative for overlapping/multi-match inputs. The group value is
-    re-extracted from the short match string, not the full text.
+    authoritative for overlapping/multi-match inputs. The group value and
+    derived significance are re-extracted from the short match string
+    AFTER the generate (plain projections over (rule_id, m0)), so Catalyst
+    prunes them — and ``text`` — away entirely for aggregate-only
+    consumers (the pipeline_sql bench path).
     """
+    empty = F.array().cast("array<string>")
+
     def _matches(r: Rule):
         # NOTE: no contains()-anchor prefilter here, deliberately — A/B
         # measured it a pessimization for this strategy (21.2s vs 18.1s at
@@ -435,28 +574,33 @@ def _parse_facts_sql(transcripts: DataFrame) -> DataFrame:
             sc = F.col("tool") == r.tool_scope
             cond = sc if cond is None else (cond & sc)
         if cond is not None:
-            ms = F.when(cond, ms).otherwise(F.array().cast("array<string>"))
-        return ms
+            ms = F.when(cond, ms).otherwise(empty)
+        # coalesce: a NULL match list (null text) must not null the flatten
+        return F.coalesce(ms, empty)
 
-    rule_structs = F.array(
-        *[
-            F.struct(
+    def _rule_match_structs(r: Rule):
+        return F.transform(
+            _matches(r),
+            lambda m: F.struct(
                 F.lit(r.rule_id).alias("rule_id"),
                 F.lit(r.sink).alias("sink"),
-                F.lit(r.significance).cast("int").alias("significance"),
-                _matches(r).alias("ms"),
-            )
-            for r in RULES
-        ]
+                F.lit(r.significance).cast("int").alias("base_sig"),
+                m.alias("m0"),
+            ),
+        )
+
+    flat = F.flatten(F.array(*[_rule_match_structs(r) for r in RULES]))
+    exploded = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "text", F.inline(flat)
     )
     value = None
     for r in RULES:
         g = 1 if re.compile(r.pattern).groups else 0
         branch = F.regexp_extract(F.col("m0"), r.pattern, g)
         value = (
-            F.when(F.col("r.rule_id") == r.rule_id, branch)
+            F.when(F.col("rule_id") == r.rule_id, branch)
             if value is None
-            else value.when(F.col("r.rule_id") == r.rule_id, branch)
+            else value.when(F.col("rule_id") == r.rule_id, branch)
         )
     # derived significance (rules.SigDerive): re-extract the compared
     # group(s) from the SHORT match string and apply the rule's CASE —
@@ -481,36 +625,26 @@ def _parse_facts_sql(transcripts: DataFrame) -> DataFrame:
         }[d.op]
         branch = F.when(cond, F.lit(d.sig_true)).otherwise(F.lit(r.significance))
         sig = (
-            F.when(F.col("r.rule_id") == r.rule_id, branch)
+            F.when(F.col("rule_id") == r.rule_id, branch)
             if sig is None
-            else sig.when(F.col("r.rule_id") == r.rule_id, branch)
+            else sig.when(F.col("rule_id") == r.rule_id, branch)
         )
-    sig = F.col("r.significance") if sig is None else sig.otherwise(F.col("r.significance"))
+    sig = F.col("base_sig") if sig is None else sig.otherwise(F.col("base_sig"))
     start = F.instr(F.col("text"), F.col("m0")) - F.lit(1)
     end = start + F.length("m0")
-    return (
-        transcripts.select(
-            "conv_id", "turn_idx", "role", "tool", "ts", "text",
-            F.explode(rule_structs).alias("r"),
-        )
-        .select(
-            "conv_id", "turn_idx", "role", "tool", "ts", "text", "r",
-            F.explode(F.col("r.ms")).alias("m0"),
-        )
-        .select(
-            F.concat_ws(
-                "-", F.col("conv_id"), F.col("turn_idx"), start, end, F.col("r.rule_id")
-            ).alias("entity_id"),
-            "conv_id",
-            "turn_idx",
-            "role",
-            "tool",
-            "ts",
-            F.col("r.rule_id").alias("rule_id"),
-            F.col("r.sink").alias("sink"),
-            sig.cast("int").alias("significance"),
-            start.cast("int").alias("span_start"),
-            end.cast("int").alias("span_end"),
-            value.alias("value"),
-        )
+    return exploded.select(
+        F.concat_ws(
+            "-", F.col("conv_id"), F.col("turn_idx"), start, end, F.col("rule_id")
+        ).alias("entity_id"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        "rule_id",
+        "sink",
+        sig.cast("int").alias("significance"),
+        start.cast("int").alias("span_start"),
+        end.cast("int").alias("span_end"),
+        value.alias("value"),
     )

@@ -169,9 +169,19 @@ def range_containment_suppression(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # localCheckpoint (not persist): materializes eagerly, truncates the
     # plan, and is released with the RDD — a bare persist() leaked cached
-    # storage across the 50-query driver battery (ADVICE r02)
-    facts = routed_facts(spark, load_transcripts(spark, sf_dir)).localCheckpoint(
-        eager=True
+    # storage across the 50-query driver battery (ADVICE r02).
+    # r6 (guide §2.3, project before materializing): only the 7 columns
+    # the containment join and the output read are checkpointed — the
+    # former full-width checkpoint also materialized value/ts/role/tool
+    # and the ontology enrichment columns, ~2.4x the bytes, none of them
+    # consumed below.
+    facts = (
+        routed_facts(spark, load_transcripts(spark, sf_dir))
+        .select(
+            "entity_id", "conv_id", "turn_idx", "sink", "rule_id",
+            "span_start", "span_end",
+        )
+        .localCheckpoint(eager=True)
     )
     spans = facts.filter(F.col("sink") == "code_span").select(
         F.col("conv_id").alias("s_conv_id"),

@@ -65,7 +65,8 @@ def write_sinks(
     routed: DataFrame,
     out_dir: str,
     max_records_per_file: int = 1_000_000,
-    n_write_salts: int = 8,
+    n_write_salts: int = 2,
+    compression: str = "zstd",
 ) -> None:
     """Fan-out write: one directory tree partitioned by (sink, date_bucket).
 
@@ -80,6 +81,17 @@ def write_sinks(
     slower and 4.4x the file count (14.5s/7682 files vs 5.9s/1742 at 1.3M
     facts). At 100 TB, size ``n_write_salts`` so salt-partitions hit the
     Iceberg target file size.
+
+    r6 file-layout tuning (guide §6, A/B at 16.7M facts, 2 rounds each):
+    ``n_write_salts`` 8 -> 2 cut the file count 3048 -> 830 and — because
+    parquet dictionary/encoding amortizes over bigger row groups — the
+    bytes 386 -> 306 MB, wall 38.0/24.9 -> 21.4/13.0 s; ``zstd`` instead
+    of snappy cut bytes another 29% (306 -> 217 MB) at equal-or-better
+    wall on this sandbox's noisy disk (guide §6 recommends zstd outright).
+    With 32 shuffle partitions and ~165 (sink, date) leaves the writer
+    parallelism is saturated without a wide salt; keep salts at the point
+    where salt-partitions hit the Iceberg target file size (~512 MB) at
+    production scale.
     """
     (
         routed.withColumn("_w", F.pmod(F.xxhash64("entity_id"), F.lit(n_write_salts)))
@@ -87,6 +99,7 @@ def write_sinks(
         .drop("_w")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", str(max_records_per_file))
+        .option("compression", compression)
         .partitionBy("sink", "date_bucket")
         .parquet(out_dir)
     )

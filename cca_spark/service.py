@@ -41,6 +41,11 @@ from urllib.parse import parse_qs, urlparse
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 DEFAULT_LIMIT = 1000
 MAX_LIMIT = 100_000
+# sf_dir values must resolve under one of these roots (ADVICE r05): the
+# parameter reaches spark.read.parquet, and an unvalidated path would let
+# any local file readable by the process be served over HTTP. Non-loopback
+# binds remain unsupported.
+ALLOWED_SF_ROOTS = ("/root/testdata",)
 
 
 class UnknownQuery(KeyError):
@@ -74,17 +79,33 @@ class QueryService:
         fn = self.queries.get(name)
         if fn is None:
             raise UnknownQuery(name)
+        import os
+
+        real = os.path.realpath(sf_dir)
+        if not any(
+            real == root or real.startswith(root + os.sep)
+            for root in ALLOWED_SF_ROOTS
+        ):
+            raise ValueError(f"sf_dir outside the allowed corpus roots: {sf_dir}")
         limit = max(1, min(limit, MAX_LIMIT))
         with self.lock:
-            df = fn(self.spark, sf_dir).limit(limit)
-            rows = [
-                {k: _json_safe(v) for k, v in r.asDict(recursive=True).items()}
-                for r in df.collect()
-            ]
-            schema = [
-                {"name": f.name, "type": f.dataType.simpleString()}
-                for f in df.schema.fields
-            ]
+            try:
+                df = fn(self.spark, sf_dir).limit(limit)
+                rows = [
+                    {k: _json_safe(v) for k, v in r.asDict(recursive=True).items()}
+                    for r in df.collect()
+                ]
+                schema = [
+                    {"name": f.name, "type": f.dataType.simpleString()}
+                    for f in df.schema.fields
+                ]
+            finally:
+                # operators that persist() intermediates (tfidf's tf table,
+                # the dedup shingle streams) hold STRONG CacheManager refs
+                # GC never frees; in this long-lived session each distinct
+                # sf_dir would otherwise pin a corpus-sized disk cache for
+                # the service lifetime (ADVICE r05)
+                self.spark.catalog.clearCache()
         return {"query": name, "sf_dir": sf_dir, "n_rows": len(rows),
                 "limit": limit, "schema": schema, "rows": rows}
 
@@ -126,6 +147,8 @@ def _make_handler(svc: QueryService):
                     self._send(404, {"error": f"no route {u.path}"})
             except UnknownQuery as e:
                 self._send(404, {"error": f"unknown query {e}"})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
             except Exception as e:  # surface, don't kill the server
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
