@@ -335,32 +335,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     AND driver-green in the immediately preceding round absorb the tail
     shadow.
 
-    Round 5 head (re-derived this round):
-    (1) new/changed code — streaming_dedup_ttl (new: EventTimeTimeout
-        state eviction), pii_scrub + ngram_decontaminate +
-        repetition_filter + lm_unigram_score + pack_token_budget +
-        pack_assemble +
-        mixture_weighted_sample + corpus_shard_shuffle + per_source_cap +
-        vocab_coverage + hash_split + jsonl_roundtrip + ngram_containment +
-        repeated_span_fraction +
-        dedup_canonical_by_quality (new r5 corpus-hygiene/assembly
-        family), parse_route_facts + parse_facts_sql_strategy +
-        pipeline_agg_per_sink (sig_fn int32 clamp touched the shared
-        parse kernel), ann_ivf_trained (newly
-        hash-oracled via 6dp fixed-point Lloyd means), bm25_retrieval
-        (TakeOrderedAndProject top-k), tfidf_top_terms (lazy DISK_ONLY tf
-        cache), dedup_minhash_lsh + dedup_keep_list_transitive
-        (dense-bucket hub-star cap, oracle changed in lockstep);
-    (2) the 17 queries whose last driver row is r3 (r4's shadow plus
-        ann_ivf_nprobe, which missed the r4 cap): pricing_summary, the 12
-        relational/window/scalar queries, turn_ordering_invariant,
-        min_max_turns, successor_facts, ann_ivf_nprobe.
-    Slack then re-evidences r4-green unchanged ops while the ~50-cap has
-    room (pipeline + streaming families first — they ride the shared
-    parse kernel); the shadow is exclusively r4-green, code-unchanged
-    queries.
+    Round 6 head (optimization round — no new queries; semantics of every
+    entry unchanged and re-proven vs the DuckDB oracles by a full
+    driver_sim run):
+    (1) r6-changed lineage — the transcripts derivation repartition
+        (transcripts.py) plus the parse-kernel rewrites (Arrow/RE2
+        partials, JVM entity_id, single-generate SQL strategy; parse.py)
+        sit under EVERY transcript/fact query, so the whole `_routed` /
+        transcripts family leads, together with the dedup family
+        (materialization restructure, dedup.py) and the similarity file's
+        brute-force cosine (norm hoist).
+    (2) r4-evidenced, code-unchanged queries rotate back into the head
+        per the standing policy (multimodal x3, ontology closure, cdc x2,
+        patch_hunks, tree_delta_apply, snapshot_rename_move_map).
+    Slack then re-evidences r5-green unchanged ops while the ~50-cap has
+    room (TPC-H relational + retrieval + corpus-assembly families, all
+    code-unchanged this round); the shadow is exclusively r5-green,
+    code-unchanged queries plus the two rows-only-by-design entries.
 
-    TRIMMED this round (VERDICT r03 #5 — genuine redundancy; each keeps a
+    TRIMMED in r5 (VERDICT r03 #5 — genuine redundancy; each keeps a
     pytest oracle in tests/test_round4_ops.py or test_pipeline_oracle.py):
     ann_ivf (== ann_ivf_nprobe at nprobe=1), dedup_keep_list (subsumed by
     the transitive variant), turn_text_identity (the north-rule invariant
@@ -406,61 +399,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cca_spark.operators import decontam as DC
     from cca_spark.operators import redact as RED
 
-    # ---- head 1: round-5 new or behavior-changed operators
+    # ---- head 1: r6-changed lineage (transcripts repartition + parse
+    # kernel rewrites reach every entry here; dedup.py/similarity.py
+    # restructures cover the rest)
     changed = {
-        "streaming_dedup_ttl": q_streaming_dedup_ttl,  # new r5
-        "pii_scrub": RED.pii_scrub,  # new r5
-        "ngram_decontaminate": DC.ngram_decontaminate,  # new r5
-        "repetition_filter": DC.repetition_filter,  # new r5
-        "lm_unigram_score": CP.lm_unigram_logprob,  # new r5
-        "pack_token_budget": CP.pack_token_budget,  # new r5
-        "pack_assemble": CP.pack_assemble,  # new r5
-        "mixture_weighted_sample": CP.mixture_weighted_sample,  # new r5
-        "corpus_shard_shuffle": CP.corpus_shard_shuffle,  # new r5
-        "per_source_cap": CP.per_source_cap,  # new r5
-        "vocab_coverage": CP.vocab_coverage,  # new r5
-        "hash_split": CP.hash_split,  # new r5
-        "jsonl_roundtrip": _q_jsonl_roundtrip,  # new r5
-        "ngram_containment": DD.ngram_containment_pairs,  # new r5
-        "repeated_span_fraction": DD.repeated_span_fraction,  # new r5
-        "ann_ivf_trained": SIM.ivf_ann_trained,  # hash-oracled r5 (6dp Lloyd)
-        "bm25_retrieval": TS.bm25_retrieval,  # TakeOrderedAndProject top-k (r5)
-        "tfidf_top_terms": TS.tfidf_top_terms,  # lazy DISK_ONLY tf cache (r5)
-        "dedup_minhash_lsh": DD.minhash_lsh_pairs,  # dense-bucket cap (r5)
-        "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,  # ditto
-        "dedup_canonical_by_quality": DD.dedup_canonical_by_quality,  # new r5
-        # the sig_fn int32 clamp (rules.py) changed the shared parse
-        # kernel late in r5 — the queries that exercise it re-evidence
-        # at the head, not from slack
         "parse_route_facts": q_parse_facts,
         "parse_facts_sql_strategy": q_parse_facts_sql_strategy,
         "pipeline_agg_per_sink": q_pipeline_agg,
-    }
-    # ---- head 2: last driver row is r3 (r4's shadow + ann_ivf_nprobe
-    # which missed the r4 cap) — every one gets a fresh CORRECTNESS_r05 row
-    stale_r3 = {
-        "pricing_summary": R.pricing_summary,
-        "join_chain_revenue": R.join_chain_revenue,
-        "broadcast_derived_key_join": R.broadcast_derived_key_join,
-        "conditional_predicate_join": R.conditional_predicate_join,
-        "anti_join_unmatched": R.anti_join_unmatched,
-        "semi_join_existing": R.semi_join_existing,
-        "theta_join_next_turn": R.theta_join_next_turn,
-        "union_alternative_keys": R.union_alternative_keys,
-        "running_window_total": R.running_window_total,
-        "sessionize_events": R.sessionize_events,
-        "scalar_function_battery": R.scalar_function_battery,
-        "ancestor_paths": R.ancestor_paths,
-        "token_explode_counts": R.token_explode_counts,
-        "turn_ordering_invariant": q_turn_ordering,
-        "min_max_turns": q_min_max_turns,
-        "successor_facts": q_successor_facts,
-        "ann_ivf_nprobe": q_ivf_nprobe,
-    }
-    # ---- slack slots (r4-green, code-unchanged; re-evidenced while the
-    # ~50-cap has room — pipeline/streaming families first, they ride the
-    # shared parse kernel)
-    slack = {
+        "range_containment_suppression": R.range_containment_suppression,
+        "dedup_minhash_lsh": DD.minhash_lsh_pairs,
+        "dedup_keep_list_transitive": DD.dedup_keep_list_transitive,
+        "dedup_canonical_by_quality": DD.dedup_canonical_by_quality,
+        "ngram_containment": DD.ngram_containment_pairs,
+        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,
+        "dedup_simhash64_banded": DD.simhash64_near_dup_pairs,
+        "dedup_exact": DD.exact_dedup,
+        "ann_brute_force_topk": SIM.brute_force_topk,
+        "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
+        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
+        "streaming_dedup_ttl": q_streaming_dedup_ttl,  # + staging mtime pin
         "streaming_pipeline_agg": q_streaming_pipeline_agg,
         "streaming_windowed_agg": q_streaming_windowed_agg,
         "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -477,34 +434,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_count_having": DL.group_count_having,
         "pivot_role_sink": DL.pivot_role_sink,
         "except_unclassified_turns": R.except_unclassified_turns,
-        "range_containment_suppression": R.range_containment_suppression,
+        "skew_salt_plan": q_salt_plan,
+        "similar_turn_pairs": R.similar_turn_pairs,
+        "exact_stats": DL.exact_stats,
+        "turn_ordering_invariant": q_turn_ordering,
+        "min_max_turns": q_min_max_turns,
+        "successor_facts": q_successor_facts,
+        "theta_join_next_turn": R.theta_join_next_turn,
+        "scalar_function_battery": R.scalar_function_battery,
+    }
+    # ---- head 2: last driver row is r4 (r5's shadow), code-unchanged —
+    # rotate back into the battery per the standing policy
+    stale_r4 = {
+        "multimodal_real_decode": MM.multimodal_real_decode,
+        "multimodal_payload_decode": MM.multimodal_payload_decode,
+        "multimodal_frame_sample": MM.frame_sample,
+        "ontology_closure_fixpoint": q_ontology_closure,
+        "cdc_merge": DL.cdc_merge,
+        "cdc_merge_reverse": DL.cdc_merge_reverse,
+        "patch_hunks": DL.patch_hunks,
+        "tree_delta_apply": DL.tree_delta_apply,
+        "snapshot_rename_move_map": MAP.snapshot_mapping,
+    }
+    # ---- slack slots (r5-green, code-unchanged; re-evidenced while the
+    # ~50-cap has room)
+    slack = {
+        "pricing_summary": R.pricing_summary,
+        "join_chain_revenue": R.join_chain_revenue,
+        "broadcast_derived_key_join": R.broadcast_derived_key_join,
+        "conditional_predicate_join": R.conditional_predicate_join,
+        "anti_join_unmatched": R.anti_join_unmatched,
+        "semi_join_existing": R.semi_join_existing,
+        "union_alternative_keys": R.union_alternative_keys,
+        "running_window_total": R.running_window_total,
+        "sessionize_events": R.sessionize_events,
+        "ancestor_paths": R.ancestor_paths,
+        "token_explode_counts": R.token_explode_counts,
+        "ann_ivf_nprobe": q_ivf_nprobe,
+        "ann_ivf_trained": SIM.ivf_ann_trained,
+        "bm25_retrieval": TS.bm25_retrieval,
+        "tfidf_top_terms": TS.tfidf_top_terms,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+    }
+    # ---- tail shadow (beyond the ~50 cap): code-unchanged AND r5-green
+    # document-family ops, plus the two rows-only-by-design entries
+    shadow = {
+        "pii_scrub": RED.pii_scrub,
+        "ngram_decontaminate": DC.ngram_decontaminate,
+        "repetition_filter": DC.repetition_filter,
+        "lm_unigram_score": CP.lm_unigram_logprob,
+        "pack_token_budget": CP.pack_token_budget,
+        "pack_assemble": CP.pack_assemble,
+        "mixture_weighted_sample": CP.mixture_weighted_sample,
+        "corpus_shard_shuffle": CP.corpus_shard_shuffle,
+        "per_source_cap": CP.per_source_cap,
+        "vocab_coverage": CP.vocab_coverage,
+        "hash_split": CP.hash_split,
+        "repeated_span_fraction": DD.repeated_span_fraction,
         "lang_id_heuristic": TS.lang_id,
         "quality_score": TS.quality_score,
         "token_count": TS.token_count,
         "length_histogram": TS.length_histogram,
         "doc_fingerprint": TS.doc_fingerprint,
-        "dedup_exact": DD.exact_dedup,
-        "dedup_simhash64_banded": DD.simhash64_near_dup_pairs,
-    }
-    # ---- tail shadow (beyond the ~50 cap): code-unchanged AND r4-green;
-    # rotated back into the head next round
-    shadow = {
-        "dedup_embedding_cosine": SIM.embedding_cosine_near_dup,
-        "dedup_ngram_jaccard": DD.ngram_jaccard_all_candidates,
-        "ann_brute_force_topk": SIM.brute_force_topk,
-        "ann_lsh_bucketed": SIM.lsh_bucketed_ann,
-        "multimodal_real_decode": MM.multimodal_real_decode,
-        "multimodal_payload_decode": MM.multimodal_payload_decode,
-        "multimodal_frame_sample": MM.frame_sample,
-        "ontology_closure_fixpoint": q_ontology_closure,
-        "skew_salt_plan": q_salt_plan,
-        "cdc_merge": DL.cdc_merge,
-        "cdc_merge_reverse": DL.cdc_merge_reverse,
-        "patch_hunks": DL.patch_hunks,
-        "tree_delta_apply": DL.tree_delta_apply,
-        "similar_turn_pairs": R.similar_turn_pairs,
-        "exact_stats": DL.exact_stats,
-        "snapshot_rename_move_map": MAP.snapshot_mapping,
         "approx_stats": DL.approx_stats,  # rows-only (approximate by design)
         "lcs_pair_alignment": DL.lcs_pair_alignment,  # rows-only (difflib)
     }
@@ -517,7 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wrapped.__name__ = getattr(fn, "__name__", "query")
         return wrapped
 
-    all_queries = changed | stale_r3 | slack | shadow
+    all_queries = changed | stale_r4 | slack | shadow
     return {name: wrap(fn) for name, fn in all_queries.items()}
 
 

@@ -64,14 +64,26 @@ def brute_force_topk(
     """Exact cosine top-k: first ``n_queries`` vectors against the corpus.
 
     Query side is broadcast (tiny); corpus side never shuffles until the
-    final per-query top-k (row_number over a k-sized window)."""
+    final per-query top-k (row_number over a k-sized window).
+
+    Norms are hoisted BELOW the cross join (r6): the former plan evaluated
+    the interpreted higher-order ``_norm`` aggregate per (query, corpus)
+    PAIR — N_corpus x N_queries norm computations where N_corpus +
+    N_queries suffice. Same IEEE expression on the same values, so the
+    rounded cosine (and the oracle hash) is bit-identical."""
     emb = _emb(spark, sf_dir) if emb is None else emb
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_norm"),
         )
     )
-    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
     scored = (
         queries.crossJoin(corpus)
         .filter(F.col("q_id") != F.col("c_id"))
@@ -80,7 +92,7 @@ def brute_force_topk(
             "c_id",
             F.round(
                 _dot(F.col("q_emb"), F.col("c_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ).alias("cosine"),
         )
