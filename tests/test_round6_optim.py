@@ -172,3 +172,68 @@ def test_load_transcripts_parallelism_and_content(spark, sf_dir):
     raw = spark.sql(transcripts_sql("cca_events_chk"))
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert _multiset_equal(t, raw, cols)
+
+
+def test_containment_bottom_k_agg_matches_window_formulation(spark, sf_dir):
+    """The r6 bottom-k sketch via slice(sort_array(collect_list(h)), 1, k)
+    must select exactly the rows the former row_number() formulation kept
+    (per-doc hashes are unique — md5 over distinct shingles — so bottom-k
+    is a well-defined set), and the containment output must match a
+    from-scratch pipeline built on the window formulation end to end."""
+    from pyspark.sql import Window
+
+    from cca_spark.operators.dedup import (
+        BOTTOM_K_SKETCH,
+        CONTAINMENT_THRESHOLD,
+        SKETCH_BUCKET_CAP,
+        _pair_shingle_intersections,
+        corpus_shingles,
+        dedup_corpus,
+        ngram_containment_over,
+    )
+
+    corpus = dedup_corpus(spark, sf_dir)
+    got = ngram_containment_over(corpus)
+
+    # reference: the pre-r6 row_number construction, no materialization
+    shd = corpus_shingles(corpus).distinct()
+    hashes = shd.select("doc_id", F.md5("shingle").alias("h"))
+    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("h"))
+    bk = hashes.withColumn("rk", rk).filter(F.col("rk") <= BOTTOM_K_SKETCH).select(
+        "doc_id", "h"
+    )
+    stats = bk.groupBy("h").agg(
+        F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_hub")
+    )
+    lhs = (
+        bk.join(stats, "h")
+        .filter(
+            (F.col("bucket_n") <= SKETCH_BUCKET_CAP)
+            | (F.col("doc_id") == F.col("bucket_hub"))
+        )
+        .select("doc_id", "h")
+    )
+    a, b = lhs.alias("a"), bk.alias("b")
+    cands = (
+        a.join(
+            b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    want = (
+        _pair_shingle_intersections(shd, cands)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a_in_b"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+    cols = ["doc_a", "doc_b", "n_inter", "containment_a_in_b", "containment_b_in_a"]
+    assert _multiset_equal(got, want, cols)
