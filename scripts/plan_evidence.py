@@ -26,7 +26,8 @@ AUDIT = [
     (
         "dedup_minhash_lsh",
         "shingle→minhash→band→bucket-join→verify (r5: oversized buckets "
-        "prefiltered to hub-star below the self-join)",
+        "prefiltered to hub-star below the self-join; r6: bucket stats "
+        "via window over the join key, sizes folded into the sig agg)",
     ),
     ("ann_brute_force_topk", "brute-force cosine top-k"),
     ("sessionize_events", "gap sessionization window"),
@@ -91,8 +92,8 @@ AUDIT = [
     ),
     (
         "ngram_containment",
-        "containment near-dup (r5): bottom-k sketch self-join blocking, "
-        "per-doc row_number window (doc_id-partitioned), exact verify",
+        "containment near-dup (r6): bottom-k sketch via per-doc hash agg "
+        "(sort_array slice), window bucket stats, exact verify",
     ),
     (
         "dedup_canonical_by_quality",
