@@ -52,6 +52,16 @@ for name, fn in sorted(qs.items()):
     else:
         results[name] = {"rows": len(sp), "rows_only": True}
 print(json.dumps(results, indent=1))
-bad = [k for k,v in results.items() if not all(x is True or isinstance(x,int) for x in v.values())]
+# NB: bool is a subclass of int, so a bare isinstance(x, int) would let
+# False pass as an "int field" and the FAILED line could never fire —
+# treat only non-bool ints (row counts) as pass-through values
+bad = [
+    k
+    for k, v in results.items()
+    if not all(
+        (x is True) or (isinstance(x, int) and not isinstance(x, bool))
+        for x in v.values()
+    )
+]
 print("FAILED:", bad if bad else "none")
 spark.stop()
