@@ -392,7 +392,12 @@ def ngram_containment_over(
     of a row_number sort-window over the full hash stream (r6: the hash
     agg skips the corpus-wide sort; per-doc arrays are shingle-set-sized
     and the same agg carries ``n_sh``, the verify's set size, so no second
-    corpus scan computes sizes). A sketch-hash bucket goes dense two
+    corpus scan computes sizes). Tradeoff, stated: collect_list buffers
+    ONE doc's hash set in the aggregation buffer (a 1M-shingle outlier
+    doc ≈ tens of MB, where the old window spilled rows to disk) —
+    acceptable because corpus pipelines bound doc length upstream
+    (quality gate) and typical docs are KBs; for an uncapped corpus,
+    cap doc length before this operator. A sketch-hash bucket goes dense two
     ways — a real duplicate cluster, OR a boilerplate shingle whose md5
     is globally small, landing in MANY unrelated docs' bottom-k — so
     buckets beyond ``bucket_cap`` emit hub-star candidates only, the
