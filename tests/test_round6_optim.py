@@ -237,3 +237,31 @@ def test_containment_bottom_k_agg_matches_window_formulation(spark, sf_dir):
     )
     cols = ["doc_a", "doc_b", "n_inter", "containment_a_in_b", "containment_b_in_a"]
     assert _multiset_equal(got, want, cols)
+
+
+def test_shingle_repartition_single_exchange_feeds_distinct_and_sigs(spark, sf_dir):
+    """The r6 doc_id-repartitioned shingle stream must let BOTH the
+    (doc_id, shingle) distinct and the groupBy(doc_id) signature
+    aggregation reuse the one repartition exchange: hashpartitioning on
+    doc_id satisfies clustering on any superset key. If a Catalyst change
+    ever stops that satisfaction, this pin catches the silently re-added
+    corpus-sized shuffle."""
+    from cca_spark.operators.dedup import (
+        corpus_shingles,
+        dedup_corpus,
+        minhash_signatures,
+    )
+
+    # earlier dedup tests leave the shingle stream registered with the
+    # CacheManager; a matching subtree here would be swapped for an
+    # InMemoryRelation (whose stored plan prints its own exchange) and
+    # make the count meaningless — clear first
+    spark.catalog.clearCache()
+    corpus = dedup_corpus(spark, sf_dir)
+    # uncached replica of the operator's pre-persist chain, so the full
+    # physical plan (not an InMemoryRelation) is visible
+    sh = corpus_shingles(corpus).repartition(F.col("doc_id")).distinct()
+    sigs = minhash_signatures(corpus, shingles=sh, with_count=True)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}:\n{plan}"
