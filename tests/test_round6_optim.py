@@ -265,3 +265,25 @@ def test_shingle_repartition_single_exchange_feeds_distinct_and_sigs(spark, sf_d
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}:\n{plan}"
+
+
+def test_novalue_kernel_matches_full(spark, sf_dir):
+    """parse_facts(with_value=False) must emit exactly the full stream
+    minus the value column — same rows, same spans, same significance —
+    for both strategies, and the two strategies must agree with each
+    other (the range-containment consumer switches on this)."""
+    from cca_spark.transcripts import load_transcripts
+    from cca_spark.operators.parse import parse_facts
+
+    t = load_transcripts(spark, sf_dir).limit(4000)
+    cols = [
+        "entity_id", "conv_id", "turn_idx", "role", "tool", "ts",
+        "rule_id", "sink", "significance", "span_start", "span_end",
+    ]
+    full = parse_facts(t).select(*cols)
+    nv = parse_facts(t, with_value=False)
+    assert nv.columns == cols
+    assert _multiset_equal(full, nv, cols)
+    nv_sql = parse_facts(t, strategy="sql", with_value=False)
+    assert nv_sql.columns == cols
+    assert _multiset_equal(nv, nv_sql, cols)
