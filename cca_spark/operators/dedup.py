@@ -193,8 +193,10 @@ def lsh_verified_pairs(
     aggregation, so the distinct dedups in place and the K-minhash agg
     reads the cache with NO further exchange — the former shape paid two
     corpus-sized shuffles (distinct by (doc_id, shingle), then sigs by
-    doc_id). Interleaved A/B at sf0.1: median 4.02s → 2.86s (−29%),
-    identical pair set. Tradeoff, stated: the single exchange carries the
+    doc_id). Position-controlled interleaved A/B at sf0.1 (new shape in
+    the penalized slot): lsh median 3.22 vs 3.86 (−17%), containment
+    4.72 vs 5.12 (−8%), identical pair sets; production-day dense-corpus
+    near-dup stage 53.7s → 25.1s. Tradeoff, stated: the single exchange carries the
     RAW (pre-dedup) shingle stream — map-side partial dedup only ever
     collapsed WITHIN-doc duplicate shingles, which are rare for k-token
     shingles (and bounded upstream by the repetition filter for

@@ -55,6 +55,16 @@ def get_spark(
         # measured 13.3s -> 11.1s on the fused pipeline at local[16],
         # 6.4M turns; ~10 MB/batch peak per worker
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # NOT set: spark.sql.join.preferSortMergeJoin=false (guide §9's
+        # baseline suggestion). Tried in r6 session 3 and REJECTED on
+        # evidence: the opaque-kernel inputs carry no size stats, so the
+        # static planner still picks SMJ, and AQE's SMJ->SHJ rewrite is
+        # gated on maxShuffledHashJoinLocalMapThreshold (default 0 = off)
+        # — captured final plans were byte-identical under both values.
+        # A first A/B that "showed" a 15-30% win was an ordering artifact
+        # (the second trial of each back-to-back pair always won; the
+        # reversed-order rerun flipped the winner —
+        # logs/ab_shj_out.json vs logs/ab_shj_reversed_out.json).
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # parquet writers: bound file sizes like the reference bounds its
