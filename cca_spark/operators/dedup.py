@@ -437,10 +437,13 @@ def ngram_containment_over(
     Materialization discipline mirrors lsh_verified_pairs (r6): the
     corpus-sized distinct shingle stream is a LAZY persist(DISK_ONLY)
     (VERDICT r05 weak #1 — no eager job, lineage preserved); the
-    doc-sized bottom-k sketch ``bk`` (k rows/doc, carrying n_sh) is
-    localCheckpoint'd once because its consumers (lhs, b, sizes) would
-    otherwise each replay the per-doc bottom-k aggregation over the full
-    hash stream (the ADVICE r05 per-consumer-replay class)."""
+    doc-sized PRE-explode sketch aggregate ``bk_agg`` (1 row/doc:
+    k-array + n_sh) is localCheckpoint'd once because its consumers
+    (lhs, b, sizes) would otherwise each replay the per-doc bottom-k
+    aggregation over the full hash stream (the ADVICE r05
+    per-consumer-replay class); the explode to sketch rows is re-derived
+    per consumer from the cache — per-row work only, exactly the lsh
+    ``sigs``/``banded`` split."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -456,15 +459,22 @@ def ngram_containment_over(
     )
 
     hashes = shd.select("doc_id", F.md5("shingle").alias("h"))
-    bk = (
+    # checkpoint the PRE-explode aggregate (1 row/doc: k-array + n_sh) —
+    # the lsh `sigs` design (r6 session 3): the explode to sketch rows is
+    # re-derived per consumer from the cache (per-row work, no
+    # aggregation replay), and the verify's per-doc sizes read n_sh
+    # straight off the checkpoint instead of re-aggregating the exploded
+    # sketch once per join side (the former shape planned TWO
+    # groupBy(doc_id) exchanges over bk, one per na/nb consumer)
+    bk_agg = (
         hashes.groupBy("doc_id")
         .agg(
             F.slice(F.sort_array(F.collect_list("h")), 1, BOTTOM_K_SKETCH).alias("hs"),
             F.count("*").alias("n_sh"),
         )
-        .select("doc_id", F.explode("hs").alias("h"), "n_sh")
         .localCheckpoint(eager=True)
     )
+    bk = bk_agg.select("doc_id", F.explode("hs").alias("h"))
     w_b = Window.partitionBy("h")
     lhs = (
         bk.select(
@@ -484,9 +494,9 @@ def ngram_containment_over(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # per-doc set sizes ride the checkpointed sketch (k rows/doc, equal
-    # n_sh on each) — min() collapses them deterministically
-    sizes = bk.groupBy("doc_id").agg(F.min("n_sh").alias("n_sh"))
+    # per-doc set sizes read directly off the checkpointed pre-explode
+    # aggregate — no re-aggregation per consumer
+    sizes = bk_agg.select("doc_id", "n_sh")
     scored = _pair_shingle_intersections(shd, cands, sizes=sizes).select(
         "doc_a",
         "doc_b",
